@@ -1,0 +1,309 @@
+"""Online nonnegative matrix factorization (ONMF) for streaming/Markovian data.
+
+Implements the online NMF of Lyu-Needell-Balzano (JMLR 21(251), 2020) the
+TPU way: the whole inner training loop is a single jitted ``lax.scan`` over
+an immutable :class:`OnmfState` pytree — no per-iteration host round trips.
+
+Algorithm parity with the reference ``Online_NMF``
+(``/root/reference/src/onmf.py:20-226``):
+
+- per-step: sparse-code the batch, update the streaming aggregates with
+  weight ``t^-beta``, then run one column-BCD pass on the dictionary
+  (``/root/reference/src/onmf.py:119-167``);
+- the dictionary update uses the *pre-update* aggregates, exactly as the
+  reference does (``/root/reference/src/onmf.py:161``, same in
+  ``/root/reference/src/ontf.py:151``); opt into fresh aggregates with
+  ``dict_from="fresh"``;
+- the ``t^-beta`` schedule and its "history" bookkeeping (final counter =
+  ``t0 + iterations``, leaving a one-step gap between warm-started runs)
+  are preserved so resume semantics match
+  (``/root/reference/src/onmf.py:162,197-204``).
+
+Deliberate, documented deviations (SURVEY.md §3.1):
+
+- aggregates are threaded *correctly* across inner iterations (the
+  reference's ``train_dict`` rebuilds them from the initial values each
+  iteration — ``/root/reference/src/onmf.py:217`` — while its drivers and
+  ``ontf.py:236`` assume correct threading; we implement the paper
+  semantics that all callers assume);
+- the public contract is the canonical 5-tuple
+  ``(W, At, Bt, Ct, H)`` with separate ``ini_A/ini_B/ini_C`` kwargs that
+  every reference driver uses (``/root/reference/image_reconstruction.py:289-312``);
+- code accumulation at duplicate subsample indices adds every
+  contribution (NumPy's fancy ``+=`` silently drops duplicates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from onmf_ontf_ndl_tpu.models.state import OnmfState, init_state
+from onmf_ontf_ndl_tpu.ops.coder import nonneg_code_gram
+from onmf_ontf_ndl_tpu.ops.dict_update import dict_update_bcd
+
+__all__ = ["OnlineNMF", "onmf_step", "train_dict"]
+
+
+def onmf_step(
+    state: OnmfState,
+    X: jax.Array,
+    t: jax.Array | None = None,
+    *,
+    H0: jax.Array | None = None,
+    alpha: float | jax.Array = 0.0,
+    beta: float | jax.Array = 1.0,
+    sub_iter: int = 10,
+    stopping_diff: float | None = 0.01,
+    dict_from: str = "stale",
+) -> tuple[OnmfState, jax.Array]:
+    """One online-NMF step on a data batch ``X`` (d, n).
+
+    Args:
+      state: current optimizer state.
+      t: step index driving the ``t^-beta`` aggregate weight; defaults to
+        ``state.t + 1``.
+      H0: optional (r, n) initial code iterate; drawn uniform [0,1) from
+        the state's PRNG key when omitted.
+      dict_from: "stale" updates W from the pre-step aggregates (reference
+        semantics, ``/root/reference/src/onmf.py:161``); "fresh" uses the
+        just-updated ones (paper semantics).
+
+    Returns:
+      (new_state, H) where H is the (r, n) nonnegative code of the batch.
+    """
+    if dict_from not in ("stale", "fresh"):
+        raise ValueError(f"dict_from must be 'stale' or 'fresh', got {dict_from!r}")
+    W, A, B, C = state.W, state.A, state.B, state.C
+    key = state.key
+    if t is None:
+        t = state.t + 1.0
+    t = jnp.asarray(t, W.dtype)
+
+    if H0 is None:
+        key, hkey = jax.random.split(key)
+        H0 = jax.random.uniform(hkey, (W.shape[1], X.shape[1]), dtype=W.dtype)
+
+    gram = W.T @ W
+    proj = W.T @ X
+    H = nonneg_code_gram(
+        gram, proj, H0, alpha=alpha, sub_iter=sub_iter, stopping_diff=stopping_diff
+    )
+
+    w_t = t ** (-jnp.asarray(beta, W.dtype))
+    A1 = (1.0 - w_t) * A + w_t * (H @ H.T)
+    B1 = (1.0 - w_t) * B + w_t * (H @ X.T)
+    C1 = (1.0 - w_t) * C + w_t * (X @ X.T) if state.tracks_xxt else C
+
+    if dict_from == "stale":
+        W1 = dict_update_bcd(W, A, B)
+    else:
+        W1 = dict_update_bcd(W, A1, B1)
+
+    new_state = dataclasses.replace(state, W=W1, A=A1, B=B1, C=C1, t=t, key=key)
+    return new_state, H
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "batch_size", "subsample", "sub_iter",
+        "use_stopping", "track_code", "dict_from",
+    ),
+)
+def _train_scan(
+    state: OnmfState,
+    X: jax.Array,
+    code0: jax.Array,
+    alpha: jax.Array,
+    beta: jax.Array,
+    stopping_diff: jax.Array,
+    iterations: int,
+    batch_size: int,
+    subsample: bool,
+    sub_iter: int,
+    use_stopping: bool,
+    track_code: bool,
+    dict_from: str,
+):
+    n = X.shape[1]
+    r = state.r
+    t0 = state.t
+
+    def body(carry, i):
+        st, code = carry
+        key, skey, hkey = jax.random.split(st.key, 3)
+        st = dataclasses.replace(st, key=key)
+        if subsample:
+            idx = jax.random.randint(skey, (batch_size,), 0, n)
+        else:
+            idx = jnp.arange(n)
+        Xb = jnp.take(X, idx, axis=1)
+        H0 = jax.random.uniform(hkey, (r, idx.shape[0]), dtype=X.dtype)
+        st, H = _step_inner(
+            st, Xb, t0 + jnp.asarray(i, X.dtype), H0, alpha, beta,
+            sub_iter, use_stopping, stopping_diff, dict_from,
+        )
+        if track_code:
+            code = code.at[:, idx].add(H)
+        return (st, code), None
+
+    (state, code), _ = lax.scan(
+        body, (state, code0), jnp.arange(1, max(iterations, 1))
+    )
+    if iterations > 1:
+        # mirror the reference's history convention: final counter is
+        # t0 + iterations (one past the last step's t).
+        state = dataclasses.replace(
+            state, t=t0 + jnp.asarray(iterations, X.dtype)
+        )
+    return state, code
+
+
+def _step_inner(
+    st, Xb, t, H0, alpha, beta, sub_iter, use_stopping, stopping_diff, dict_from
+):
+    """onmf_step with the stopping rule threaded as a traced value."""
+    W, A, B, C = st.W, st.A, st.B, st.C
+    gram = W.T @ W
+    proj = W.T @ Xb
+    from onmf_ontf_ndl_tpu.ops.coder import _code_impl
+
+    H = _code_impl(
+        gram, proj, H0, jnp.asarray(alpha, W.dtype), stopping_diff,
+        jnp.asarray(0.0, W.dtype), int(sub_iter), use_stopping, False,
+    )
+    w_t = t ** (-jnp.asarray(beta, W.dtype))
+    A1 = (1.0 - w_t) * A + w_t * (H @ H.T)
+    B1 = (1.0 - w_t) * B + w_t * (H @ Xb.T)
+    C1 = (1.0 - w_t) * C + w_t * (Xb @ Xb.T) if st.tracks_xxt else C
+    W1 = dict_update_bcd(W, A, B) if dict_from == "stale" else dict_update_bcd(W, A1, B1)
+    return dataclasses.replace(st, W=W1, A=A1, B=B1, C=C1, t=t), H
+
+
+def train_dict(
+    state: OnmfState,
+    X: jax.Array,
+    *,
+    iterations: int,
+    batch_size: int,
+    subsample: bool = True,
+    alpha: float = 0.0,
+    beta: float = 1.0,
+    sub_iter: int = 10,
+    stopping_diff: float | None = 0.01,
+    track_code: bool = True,
+    dict_from: str = "stale",
+    code0: jax.Array | None = None,
+) -> tuple[OnmfState, jax.Array]:
+    """Run ``iterations - 1`` online steps over minibatches of ``X`` (d, n).
+
+    The loop count and schedule mirror the reference's
+    ``for i in np.arange(1, iterations)`` with step weight
+    ``(t0 + i)^-beta`` (``/root/reference/src/onmf.py:206-220``).
+
+    Returns the final state and the (r, n) accumulated code matrix.
+    """
+    if dict_from not in ("stale", "fresh"):
+        raise ValueError(f"dict_from must be 'stale' or 'fresh', got {dict_from!r}")
+    if code0 is None:
+        code0 = jnp.zeros((state.r, X.shape[1]), X.dtype)
+    use_stopping = stopping_diff is not None
+    sd = jnp.asarray(stopping_diff if use_stopping else 0.0, X.dtype)
+    if iterations <= 1:
+        return state, code0
+    return _train_scan(
+        state, X, code0,
+        jnp.asarray(alpha, X.dtype), jnp.asarray(beta, X.dtype), sd,
+        int(iterations), int(batch_size), bool(subsample), int(sub_iter),
+        use_stopping, bool(track_code), dict_from,
+    )
+
+
+class OnlineNMF:
+    """Ergonomic shell matching the reference driver contract.
+
+    ``OnlineNMF(X, ...).train_dict()`` returns the canonical 5-tuple
+    ``(W, At, Bt, Ct, H)`` with warm-start kwargs ``ini_dict / ini_A /
+    ini_B / ini_C / history`` — the interface every reference driver uses
+    (``/root/reference/image_reconstruction.py:289-312``,
+    ``/root/reference/ising_reconstruction.py:116-127,149-163``).
+    """
+
+    def __init__(
+        self,
+        X,
+        n_components: int = 100,
+        iterations: int = 500,
+        batch_size: int = 20,
+        ini_dict=None,
+        ini_A=None,
+        ini_B=None,
+        ini_C=None,
+        history: float = 0.0,
+        alpha: float | None = None,
+        beta: float | None = None,
+        subsample: bool = True,
+        track_xxt: bool | None = None,
+        sub_iter: int = 10,
+        stopping_diff: float | None = 0.01,
+        dict_from: str = "stale",
+        key: jax.Array | None = None,
+        seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        self.X = jnp.asarray(X, dtype)
+        self.n_components = n_components
+        self.iterations = iterations
+        self.batch_size = batch_size
+        self.alpha = 0.0 if alpha is None else float(alpha)
+        self.beta = 1.0 if beta is None else float(beta)
+        self.subsample = subsample
+        self.sub_iter = sub_iter
+        self.stopping_diff = stopping_diff
+        self.dict_from = dict_from
+        self.dtype = dtype
+        if track_xxt is None:
+            track_xxt = ini_C is not None
+        if key is None:
+            key = jax.random.key(seed)
+        self.state = init_state(
+            key, self.X.shape[0], n_components,
+            track_xxt=track_xxt, dtype=dtype,
+            W=ini_dict, A=ini_A, B=ini_B, C=ini_C, t=float(history),
+        )
+        self.code = jnp.zeros((n_components, self.X.shape[1]), dtype)
+
+    @property
+    def history(self) -> float:
+        return float(self.state.t)
+
+    def sparse_code(self, X, W):
+        """Code a batch against W with the instance's alpha (reference
+        ``Online_NMF.sparse_code``, ``/root/reference/src/onmf.py:51-90``)."""
+        X = jnp.asarray(X, self.dtype)
+        W = jnp.asarray(W, self.dtype)
+        key = jax.random.key(hash(("sparse_code", X.shape)) & 0x7FFFFFFF)
+        from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
+
+        return nonneg_code(
+            X, W, key=key, alpha=self.alpha,
+            sub_iter=self.sub_iter, stopping_diff=self.stopping_diff,
+        )
+
+    def train_dict(self):
+        """Learn/refine the dictionary; returns ``(W, At, Bt, Ct, H)``."""
+        self.state, self.code = train_dict(
+            self.state, self.X,
+            iterations=self.iterations, batch_size=self.batch_size,
+            subsample=self.subsample, alpha=self.alpha, beta=self.beta,
+            sub_iter=self.sub_iter, stopping_diff=self.stopping_diff,
+            track_code=True, dict_from=self.dict_from, code0=self.code,
+        )
+        st = self.state
+        Ct = st.C if st.tracks_xxt else None
+        return st.W, st.A, st.B, Ct, self.code

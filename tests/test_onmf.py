@@ -1,0 +1,150 @@
+"""Golden tests for the ONMF step and training scan against the NumPy oracle."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onmf_ontf_ndl_tpu.models.state import init_state
+from onmf_ontf_ndl_tpu.models.onmf import OnlineNMF, onmf_step, train_dict
+from oracle_np import step_oracle, train_oracle
+
+RNG = np.random.default_rng(2)
+
+
+def make_state(d=48, r=10, track_xxt=False, seed=0):
+    W = RNG.random((d, r))
+    st = init_state(jax.random.key(seed), d, r, track_xxt=track_xxt,
+                    dtype=jnp.float64, W=W)
+    return st, W
+
+
+def test_step_matches_oracle():
+    st, W = make_state()
+    X = RNG.random((48, 20))
+    H0 = RNG.random((10, 20))
+    st1, H = onmf_step(st, jnp.asarray(X), t=3.0, H0=jnp.asarray(H0),
+                       alpha=0.5, beta=0.7)
+    Hw, A1, B1, C1, W1 = step_oracle(
+        X, W, np.zeros((10, 10)), np.zeros((10, 48)), None, 3.0, H0,
+        alpha=0.5, beta=0.7)
+    np.testing.assert_allclose(np.asarray(H), Hw, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(st1.A), A1, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(st1.B), B1, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(st1.W), W1, rtol=1e-9)
+    assert float(st1.t) == 3.0
+
+
+def test_step_tracks_xxt():
+    st, W = make_state(track_xxt=True)
+    X = RNG.random((48, 20))
+    H0 = RNG.random((10, 20))
+    st1, _ = onmf_step(st, jnp.asarray(X), t=1.0, H0=jnp.asarray(H0))
+    np.testing.assert_allclose(np.asarray(st1.C), X @ X.T, rtol=1e-9)
+
+
+def test_step_fresh_aggregates():
+    st, W = make_state()
+    X = RNG.random((48, 20))
+    H0 = RNG.random((10, 20))
+    st1, _ = onmf_step(st, jnp.asarray(X), t=2.0, H0=jnp.asarray(H0),
+                       dict_from="fresh")
+    _, A1, B1, _, W1 = step_oracle(
+        X, W, np.zeros((10, 10)), np.zeros((10, 48)), None, 2.0, H0,
+        dict_from="fresh")
+    np.testing.assert_allclose(np.asarray(st1.W), W1, rtol=1e-9)
+
+
+def _replay_rng(key, n, r, iterations, batch_size, subsample):
+    """Replays the exact RNG draws of the training scan on the host."""
+    batches, H0s = [], []
+    for _ in range(1, iterations):
+        key, skey, hkey = jax.random.split(key, 3)
+        if subsample:
+            idx = np.asarray(jax.random.randint(skey, (batch_size,), 0, n))
+        else:
+            idx = np.arange(n)
+        batches.append(idx)
+        H0s.append(np.asarray(jax.random.uniform(hkey, (r, len(idx)),
+                                                 dtype=jnp.float64)))
+    return batches, H0s
+
+
+def test_train_dict_matches_oracle():
+    d, r, n = 36, 8, 50
+    st, W = make_state(d=d, r=r, seed=7)
+    X = RNG.random((d, n))
+    iterations, batch_size = 6, 12
+
+    batches, H0s = _replay_rng(st.key, n, r, iterations, batch_size, True)
+    Ww, Aw, Bw, _, codew, tw = train_oracle(
+        X, W, iterations, batches, H0s, alpha=0.3, beta=0.9)
+
+    st1, code = train_dict(st, jnp.asarray(X), iterations=iterations,
+                           batch_size=batch_size, alpha=0.3, beta=0.9)
+    np.testing.assert_allclose(np.asarray(st1.W), Ww, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(st1.A), Aw, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(st1.B), Bw, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(code), codew, rtol=1e-8)
+    assert float(st1.t) == tw == iterations
+
+
+def test_train_dict_warm_start_continues_schedule():
+    d, r, n = 24, 6, 40
+    st, _ = make_state(d=d, r=r, seed=3)
+    X = jnp.asarray(RNG.random((d, n)))
+    st1, _ = train_dict(st, X, iterations=5, batch_size=8)
+    assert float(st1.t) == 5.0
+    st2, _ = train_dict(st1, X, iterations=5, batch_size=8)
+    assert float(st2.t) == 10.0
+
+
+def test_train_dict_zero_steps():
+    st, _ = make_state()
+    X = jnp.asarray(RNG.random((48, 10)))
+    st1, code = train_dict(st, X, iterations=1, batch_size=4)
+    np.testing.assert_array_equal(np.asarray(st1.W), np.asarray(st.W))
+    assert float(st1.t) == 0.0
+    assert (np.asarray(code) == 0).all()
+
+
+def test_online_nmf_class_contract():
+    X = RNG.random((30, 60))
+    nmf = OnlineNMF(X, n_components=5, iterations=4, batch_size=10,
+                    dtype=jnp.float64)
+    W, At, Bt, Ct, H = nmf.train_dict()
+    assert W.shape == (30, 5) and At.shape == (5, 5) and Bt.shape == (5, 30)
+    assert Ct is None
+    assert H.shape == (5, 60)
+    assert nmf.history == 4.0
+
+    # warm start with full aggregates, as the Ising driver does
+    nmf2 = OnlineNMF(X, n_components=5, iterations=4, batch_size=10,
+                     ini_dict=W, ini_A=At, ini_B=Bt, track_xxt=True,
+                     history=nmf.history, beta=0.8, dtype=jnp.float64)
+    W2, A2, B2, C2, H2 = nmf2.train_dict()
+    assert C2 is not None and C2.shape == (30, 30)
+    assert nmf2.history == 8.0
+    assert (np.asarray(W2) >= 0).all()
+
+
+def test_surrogate_error_decreases_in_expectation():
+    # The surrogate tr(W A W^T) - 2 tr(W B) + tr(C) should trend down over
+    # a training run on i.i.d. data (ising_reconstruction.py:133 metric).
+    d, r, n = 25, 6, 400
+    Wtrue = np.abs(RNG.standard_normal((d, r)))
+    Htrue = np.abs(RNG.standard_normal((r, n))) * (RNG.random((r, n)) < 0.4)
+    X = Wtrue @ Htrue + 0.01 * RNG.random((d, n))
+
+    nmf = OnlineNMF(X, n_components=r, iterations=3, batch_size=50,
+                    track_xxt=True, dtype=jnp.float64)
+    W, A, B, C, _ = nmf.train_dict()
+    first = np.trace(W @ A @ W.T) - 2 * np.trace(W @ B) + np.trace(C)
+    for _ in range(10):
+        nmf = OnlineNMF(X, n_components=r, iterations=3, batch_size=50,
+                        ini_dict=W, ini_A=A, ini_B=B, ini_C=C,
+                        history=nmf.history, dtype=jnp.float64)
+        W, A, B, C, _ = nmf.train_dict()
+    last = np.trace(W @ A @ W.T) - 2 * np.trace(W @ B) + np.trace(C)
+    assert last < first
