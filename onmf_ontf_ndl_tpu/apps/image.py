@@ -1,0 +1,235 @@
+"""Image dictionary learning + reconstruction (the canonical ONMF pipeline).
+
+TPU-native re-design of ``Image_Reconstructor``
+(``/root/reference/image_reconstruction.py:14-406``): the entire outer
+training loop — random patch extraction, inner online-NMF iterations,
+state threading — is ONE jitted ``lax.scan``; training never leaves the
+device. Reconstruction codes every grid patch in a single batched coder
+call and paints with a scatter-add overlap average (vs. the reference's
+per-patch Python loop, ``:375-392``).
+
+Parity notes:
+- training patches are sampled from the full-resolution image (the
+  reference's ``extract_random_patches`` reads ``self.data``, which is
+  never downscaled; downscaling only applies to the
+  ``image_to_patches``-based grayscale reconstruction path);
+- color reconstruction codes patches with ``alpha=1, sub_iter=10``
+  exactly as ``:384``; the early-stopping rule is evaluated on the whole
+  batch rather than per patch — the same batched-stopping semantics the
+  reference's own grayscale path uses (``:349-350``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from onmf_ontf_ndl_tpu.data.images import load_image, downscale_local_mean
+from onmf_ontf_ndl_tpu.models.onmf import _train_scan
+from onmf_ontf_ndl_tpu.models.state import OnmfState, init_state
+from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
+from onmf_ontf_ndl_tpu.ops.patches import (
+    all_patch_corners,
+    extract_patches,
+    grid_patch_corners,
+    overlap_average,
+    random_patch_corners,
+)
+
+__all__ = ["ImageReconstructor", "train_image_dict", "reconstruct"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "outer_iterations", "num_patches", "inner_iterations", "batch_size",
+        "patch_size", "sub_iter", "use_stopping", "dict_from",
+    ),
+    donate_argnums=(0,),
+)
+def train_image_dict(
+    state: OnmfState,
+    img: jax.Array,
+    *,
+    outer_iterations: int,
+    num_patches: int,
+    inner_iterations: int,
+    batch_size: int,
+    patch_size: int,
+    alpha: float = 0.0,
+    beta: float = 1.0,
+    sub_iter: int = 10,
+    use_stopping: bool = True,
+    stopping_diff: float = 0.01,
+    dict_from: str = "stale",
+) -> OnmfState:
+    """Fused streaming trainer: outer scan samples patches, inner scan runs
+    online-NMF steps; mirrors the two-level loop of
+    ``/root/reference/image_reconstruction.py:286-312`` +
+    ``/root/reference/src/onmf.py:206-220``."""
+    k = patch_size
+    dummy_code = jnp.zeros((state.r, num_patches), img.dtype)
+    alpha_t = jnp.asarray(alpha, img.dtype)
+    beta_t = jnp.asarray(beta, img.dtype)
+    sd_t = jnp.asarray(stopping_diff, img.dtype)
+
+    def outer(st, _):
+        key, pkey = jax.random.split(st.key)
+        st = dataclasses.replace(st, key=key)
+        corners = random_patch_corners(pkey, img.shape[:2], k, num_patches)
+        X = extract_patches(img, corners, k)
+        st, _ = _train_scan(
+            st, X, dummy_code, alpha_t, beta_t, sd_t,
+            inner_iterations, batch_size, True, sub_iter,
+            use_stopping, False, dict_from,
+        )
+        return st, None
+
+    state, _ = lax.scan(outer, state, length=outer_iterations)
+    return state
+
+
+@functools.partial(
+    jax.jit, static_argnames=("patch_size", "stride", "sub_iter", "use_stopping", "full_grid")
+)
+def reconstruct(
+    img: jax.Array,
+    W: jax.Array,
+    key: jax.Array,
+    *,
+    patch_size: int,
+    stride: int = 1,
+    alpha: float = 1.0,
+    sub_iter: int = 10,
+    use_stopping: bool = True,
+    stopping_diff: float = 0.01,
+    full_grid: bool = False,
+) -> jax.Array:
+    """Reconstruct an image from its dictionary by coding every grid patch
+    at once and overlap-averaging (``/root/reference/image_reconstruction.py:358-406``).
+
+    ``full_grid=True`` uses every patch position (the
+    ``extract_patches_2d``/``reconstruct_from_patches_2d`` grayscale path,
+    ``:340-356``); otherwise a strided grid exclusive of the last start.
+    """
+    k = patch_size
+    if full_grid:
+        corners = all_patch_corners(img.shape[:2], k)
+    else:
+        corners = grid_patch_corners(img.shape[:2], k, stride)
+    X = extract_patches(img, corners, k)
+    H = nonneg_code(
+        X, W, key=key, alpha=alpha, sub_iter=sub_iter,
+        stopping_diff=(stopping_diff if use_stopping else None),
+    )
+    recon_patches = W @ H
+    return overlap_average(recon_patches, corners, k, img.shape)
+
+
+class ImageReconstructor:
+    """Driver-ergonomics shell over the fused pipeline; constructor knobs
+    mirror ``Image_Reconstructor.__init__``
+    (``/root/reference/image_reconstruction.py:15-71``)."""
+
+    def __init__(
+        self,
+        path: str | None = None,
+        data=None,
+        n_components: int = 100,
+        iterations: int = 200,
+        sub_iterations: int = 20,
+        num_patches: int = 1000,
+        batch_size: int = 20,
+        downscale_factor: int = 2,
+        patch_size: int = 7,
+        is_matrix: bool = False,
+        is_color: bool = True,
+        alpha: float | None = None,
+        beta: float | None = None,
+        seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        if data is None:
+            if path is None:
+                raise ValueError("ImageReconstructor: provide path or data")
+            data = load_image(path, is_matrix=is_matrix, is_color=is_color,
+                              dtype=dtype)
+        self.data = jnp.asarray(data, dtype)
+        self.path = path
+        self.n_components = n_components
+        self.iterations = iterations
+        self.sub_iterations = sub_iterations
+        self.num_patches = num_patches
+        self.batch_size = batch_size
+        self.downscale_factor = downscale_factor
+        self.patch_size = patch_size
+        self.is_matrix = is_matrix
+        self.is_color = is_color
+        self.alpha = 0.0 if alpha is None else float(alpha)
+        self.beta = 1.0 if beta is None else float(beta)
+        self.dtype = dtype
+
+        d = (3 if is_color else 1) * patch_size**2
+        self.state = init_state(jax.random.key(seed), d, n_components,
+                                dtype=dtype)
+        self.A_recons = None
+
+    @property
+    def W(self):
+        return self.state.W
+
+    @W.setter
+    def W(self, value):
+        self.state = dataclasses.replace(
+            self.state, W=jnp.asarray(value, self.dtype))
+
+    def train_dict(self):
+        """Run the full streaming training; returns the dictionary (d, r)."""
+        self.state = train_image_dict(
+            self.state, self.data,
+            outer_iterations=self.iterations,
+            num_patches=self.num_patches,
+            inner_iterations=self.sub_iterations,
+            batch_size=self.batch_size,
+            patch_size=self.patch_size,
+            alpha=self.alpha, beta=self.beta,
+        )
+        return self.state.W
+
+    def reconstruct_image_color(self, path: str | None = None, data=None,
+                                recons_resolution: int = 1, alpha: float = 1.0):
+        """Color reconstruction on a strided grid
+        (``/root/reference/image_reconstruction.py:358-406``)."""
+        if data is None:
+            data = load_image(path or self.path, is_matrix=self.is_matrix,
+                              is_color=True, dtype=self.dtype)
+        key = jax.random.key(17)
+        self.A_recons = reconstruct(
+            jnp.asarray(data, self.dtype), self.state.W, key,
+            patch_size=self.patch_size, stride=recons_resolution, alpha=alpha,
+        )
+        return self.A_recons
+
+    def reconstruct_image(self, path: str | None = None, data=None,
+                          downscale_factor: int | None = None,
+                          patch_size: int | None = None):
+        """Grayscale full-grid reconstruction
+        (``/root/reference/image_reconstruction.py:340-356``)."""
+        if downscale_factor is None:
+            downscale_factor = self.downscale_factor
+        k = patch_size or self.patch_size
+        if data is None:
+            data = load_image(path or self.path, is_matrix=self.is_matrix,
+                              is_color=False, dtype=self.dtype)
+        data = downscale_local_mean(jnp.asarray(data, self.dtype),
+                                    downscale_factor)
+        key = jax.random.key(17)
+        self.A_recons = reconstruct(
+            data, self.state.W, key, patch_size=k,
+            alpha=self.alpha, full_grid=True,
+        )
+        return self.A_recons

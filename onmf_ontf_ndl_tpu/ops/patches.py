@@ -1,0 +1,122 @@
+"""Device-resident patch extraction and overlap-averaged reconstruction.
+
+The reference extracts random patches one by one with ``np.append``
+(``/root/reference/image_reconstruction.py:173-206``) and paints
+reconstructions with a per-pixel Python running average
+(``/root/reference/image_reconstruction.py:389-392``). Here both are
+single XLA ops: a batched gather for extraction and a scatter-add
+(values + counts, then divide) for reconstruction. The running average
+``(c*acc + v)/(c+1)`` over the patches covering a pixel equals the plain
+mean of those values, so the scatter-add form is mathematically identical
+(up to float association) while being order-independent and parallel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "random_patch_corners",
+    "grid_patch_corners",
+    "all_patch_corners",
+    "extract_patches",
+    "overlap_average",
+]
+
+
+def random_patch_corners(
+    key: jax.Array, img_shape: tuple[int, int], k: int, num: int
+) -> tuple[jax.Array, jax.Array]:
+    """Uniform top-left corners for ``num`` random k x k patches.
+
+    Matches the reference's ``np.random.choice(H - k)`` support
+    {0, ..., H-k-1} (``/root/reference/image_reconstruction.py:185-186``).
+    """
+    ka, kb = jax.random.split(key)
+    a = jax.random.randint(ka, (num,), 0, img_shape[0] - k)
+    b = jax.random.randint(kb, (num,), 0, img_shape[1] - k)
+    return a, b
+
+
+def grid_patch_corners(
+    img_shape: tuple[int, int], k: int, stride: int
+) -> tuple[jax.Array, jax.Array]:
+    """Strided-grid corners, exclusive of the last row/col start, matching
+    ``np.arange(0, H - k, stride)``
+    (``/root/reference/image_reconstruction.py:375-376``)."""
+    ii = jnp.arange(0, img_shape[0] - k, stride)
+    jj = jnp.arange(0, img_shape[1] - k, stride)
+    a = jnp.repeat(ii, jj.shape[0])
+    b = jnp.tile(jj, ii.shape[0])
+    return a, b
+
+
+def all_patch_corners(img_shape: tuple[int, int], k: int) -> tuple[jax.Array, jax.Array]:
+    """Every patch position (inclusive of H-k), row-major — the
+    ``extract_patches_2d`` full-coverage order used by the grayscale
+    reconstruction path (``/root/reference/image_reconstruction.py:163``)."""
+    ii = jnp.arange(0, img_shape[0] - k + 1)
+    jj = jnp.arange(0, img_shape[1] - k + 1)
+    a = jnp.repeat(ii, jj.shape[0])
+    b = jnp.tile(jj, ii.shape[0])
+    return a, b
+
+
+def extract_patches(
+    img: jax.Array, corners: tuple[jax.Array, jax.Array], k: int
+) -> jax.Array:
+    """Gather k x k patches at the given corners into a data matrix.
+
+    Args:
+      img: (H, W) grayscale or (H, W, C) color image.
+      corners: (a, b) arrays of n top-left coordinates.
+      k: patch side.
+
+    Returns:
+      (d, n) matrix, d = k*k*C (or k*k), each column a patch flattened
+      row-major in (row, col[, channel]) order — the reference's
+      ``patch.reshape(-1, 1)`` convention
+      (``/root/reference/image_reconstruction.py:187-188``).
+    """
+    a, b = corners
+    di = jnp.arange(k)
+    rows = a[:, None, None] + di[None, :, None]   # (n, k, 1)
+    cols = b[:, None, None] + di[None, None, :]   # (n, 1, k)
+    patches = img[rows, cols]                     # (n, k, k[, C])
+    return patches.reshape(a.shape[0], -1).T
+
+
+def overlap_average(
+    patch_values: jax.Array,
+    corners: tuple[jax.Array, jax.Array],
+    k: int,
+    out_shape: tuple[int, ...],
+) -> jax.Array:
+    """Overlap-averaged reconstruction canvas from per-patch values.
+
+    Args:
+      patch_values: (d, n) reconstructed patch columns (same flattening as
+        :func:`extract_patches`).
+      corners: (a, b) corner arrays of length n.
+      k: patch side.
+      out_shape: (H, W) or (H, W, C) canvas shape.
+
+    Returns:
+      Canvas where every painted pixel is the mean of all patch values
+      covering it; unpainted pixels are 0 (the reference's zero-initialized
+      canvas, ``/root/reference/image_reconstruction.py:367``).
+    """
+    a, b = corners
+    n = a.shape[0]
+    channels = out_shape[2] if len(out_shape) == 3 else 1
+    vals = patch_values.T.reshape(n, k, k, channels)
+    di = jnp.arange(k)
+    rows = a[:, None, None] + di[None, :, None]
+    cols = b[:, None, None] + di[None, None, :]
+    acc = jnp.zeros((out_shape[0], out_shape[1], channels), patch_values.dtype)
+    acc = acc.at[rows, cols].add(vals)
+    cnt = jnp.zeros((out_shape[0], out_shape[1]), patch_values.dtype)
+    cnt = cnt.at[rows, cols].add(1.0)
+    out = acc / jnp.maximum(cnt, 1.0)[..., None]
+    return out.reshape(out_shape)
