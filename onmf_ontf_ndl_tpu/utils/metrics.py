@@ -1,0 +1,25 @@
+"""Metrics tracked by the reference applications."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["surrogate_error", "relative_recon_error"]
+
+
+def surrogate_error(W: jax.Array, A: jax.Array, B: jax.Array, C: jax.Array):
+    """The online-NMF surrogate objective
+    ``tr(W A W^T) - 2 tr(W B) + tr(C)``
+    (``/root/reference/ising_reconstruction.py:133,164``), computed
+    without materializing the d x d products."""
+    return (
+        jnp.sum((W @ A) * W)
+        - 2.0 * jnp.sum(W * B.T)
+        + jnp.trace(C)
+    )
+
+
+def relative_recon_error(X: jax.Array, W: jax.Array, H: jax.Array):
+    """``|X - W H|_F / |X|_F``."""
+    return jnp.linalg.norm(X - W @ H) / jnp.linalg.norm(X)
