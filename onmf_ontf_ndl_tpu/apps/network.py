@@ -1,0 +1,262 @@
+"""Network dictionary learning (NDL) and network reconstruction.
+
+TPU-native re-design of ``Network_Reconstructor``
+(``/root/reference/network_reconstruction_nx.py:19-533``): the MCMC motif
+chain, patch extraction, and warm-started online NMF all run inside one
+jitted ``lax.scan``; reconstruction batches the whole chain's patches
+through one coder call and scatter-adds overlap-averaged edge weights
+into a dense reconstruction matrix.
+
+Parity notes:
+- training follows ``train_dict`` (``:342-391``): per MCMC iteration,
+  ``sample_size`` Glauber (or Pivot) moves each emitting one k x k patch,
+  then ``sub_iterations`` online-NMF steps on random ``batch_size``
+  column subsamples, with state threading across iterations;
+- reconstruction follows ``reconstruct_network`` (``:444-511``): a fresh
+  chain emits patches; each patch is sparse-coded against W with
+  ``alpha=0`` and its W@code values are painted onto the edges of the
+  embedding with a running average, finally rounded to a simple graph.
+  The per-edge running average equals the per-edge mean, so the batched
+  scatter-add form is semantically identical. The reference codes each
+  patch separately with sklearn lasso_lars; we batch-code all patches
+  with the PGD coder (same objective; reconstruction-level parity);
+- accuracy metric: ``|E(G_recons & G)| / |E(G)|`` (``:513-524``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from onmf_ontf_ndl_tpu.data.graphs import Graph, graph_from_adjacency, load_edgelist
+from onmf_ontf_ndl_tpu.models.onmf import _train_scan
+from onmf_ontf_ndl_tpu.models.state import OnmfState, init_state
+from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
+from onmf_ontf_ndl_tpu.samplers.motif import (
+    _sample_patches,
+    path_adj,
+    sample_patches,
+    tree_parents,
+    tree_sample,
+)
+
+__all__ = ["NetworkReconstructor", "ndl_train", "reconstruct_network"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "B_bytes", "parents", "mcmc_iterations", "sample_size",
+        "inner_iterations", "batch_size", "use_glauber", "weighted",
+        "sub_iter",
+    ),
+)
+def ndl_train(
+    state: OnmfState,
+    g: Graph,
+    emb0: jax.Array,
+    B_bytes: bytes,
+    parents: tuple[int, ...],
+    *,
+    mcmc_iterations: int,
+    sample_size: int,
+    inner_iterations: int,
+    batch_size: int,
+    alpha: float = 0.0,
+    beta: float = 1.0,
+    sub_iter: int = 10,
+    stopping_diff: float = 0.01,
+    use_glauber: bool = True,
+    weighted: bool = False,
+):
+    """Fused NDL trainer. Returns ``(state, code, emb)`` where code is the
+    accumulated (r, sample_size) code matrix."""
+    dtype = state.W.dtype
+    alpha_t = jnp.asarray(alpha, dtype)
+    beta_t = jnp.asarray(beta, dtype)
+    sd_t = jnp.asarray(stopping_diff, dtype)
+    code = jnp.zeros((state.r, sample_size), dtype)
+
+    def body(carry, _):
+        st, emb, code = carry
+        key, ck, = jax.random.split(st.key)
+        st = dataclasses.replace(st, key=key)
+        X, emb = _sample_patches(ck, g, emb, B_bytes, parents, sample_size,
+                                 use_glauber, weighted)
+        st, code = _train_scan(
+            st, X.astype(dtype), code, alpha_t, beta_t, sd_t,
+            inner_iterations, batch_size, True, sub_iter,
+            True, True, "stale",
+        )
+        return (st, emb, code), None
+
+    (state, emb, code), _ = lax.scan(
+        body, (state, emb0, code), None, length=mcmc_iterations)
+    return state, code, emb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("B_bytes", "parents", "recons_iter", "use_glauber",
+                     "weighted", "sub_iter"),
+)
+def reconstruct_network(
+    W: jax.Array,
+    g: Graph,
+    emb0: jax.Array,
+    key: jax.Array,
+    B_bytes: bytes,
+    parents: tuple[int, ...],
+    *,
+    recons_iter: int,
+    alpha: float = 0.0,
+    sub_iter: int = 30,
+    use_glauber: bool = False,
+    weighted: bool = False,
+):
+    """Chain-sample ``recons_iter`` patches, code them all at once, and
+    overlap-average onto the node-pair grid. Returns
+    ``(recon_weights, overlap_count, emb)`` — dense (N, N) arrays; the
+    rounded simple graph is ``(recon_weights.round() > 0) & (count > 0)``.
+    """
+    k = emb0.shape[0]
+    ck, hk = jax.random.split(key)
+
+    def step(emb, kk):
+        from onmf_ontf_ndl_tpu.samplers.motif import (
+            glauber_update, pivot_update, patch_from_embedding)
+        B = np.frombuffer(B_bytes, dtype=np.int8).reshape(k, -1)
+        if use_glauber:
+            emb = glauber_update(kk, B, parents, g, emb)
+        else:
+            emb = pivot_update(kk, B, parents, g, emb)
+        return emb, emb
+
+    keys = jax.random.split(ck, recons_iter)
+    emb, embs = lax.scan(step, emb0, keys)          # embs: (P, k)
+
+    M = g.weight if weighted else g.adj.astype(jnp.float32)
+    X = M[embs[:, :, None], embs[:, None, :]].reshape(recons_iter, k * k).T
+
+    H = nonneg_code(X, W, key=hk, alpha=alpha, sub_iter=sub_iter,
+                    stopping_diff=0.01)
+    vals = (W @ H).T.reshape(recons_iter, k, k)
+
+    n = g.num_nodes
+    rows = embs[:, :, None] * jnp.ones((1, 1, k), jnp.int32)
+    cols = embs[:, None, :] * jnp.ones((1, k, 1), jnp.int32)
+    acc = jnp.zeros((n, n), W.dtype).at[rows, cols].add(vals)
+    cnt = jnp.zeros((n, n), W.dtype).at[rows, cols].add(1.0)
+    recon = acc / jnp.maximum(cnt, 1.0)
+    return recon, cnt, emb
+
+
+class NetworkReconstructor:
+    """Driver shell mirroring ``Network_Reconstructor``
+    (``network_reconstruction_nx.py:19-48,535-574``)."""
+
+    def __init__(
+        self,
+        source: str | Graph | None = None,
+        adjacency=None,
+        n_components: int = 100,
+        MCMC_iterations: int = 500,
+        sub_iterations: int = 100,
+        sample_size: int = 1000,
+        batch_size: int = 10,
+        k1: int = 1,
+        k2: int = 2,
+        alpha: float | None = None,
+        is_WAN: bool = False,
+        is_glauber_dict: bool = True,
+        is_glauber_recons: bool = True,
+        weighted_patches: bool = False,
+        seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        if isinstance(source, Graph):
+            self.G = source
+        elif source is not None:
+            self.G = load_edgelist(source)
+        elif adjacency is not None:
+            self.G = graph_from_adjacency(adjacency, normalize=is_WAN)
+        else:
+            raise ValueError("NetworkReconstructor: provide source or adjacency")
+        self.n_components = n_components
+        self.MCMC_iterations = MCMC_iterations
+        self.sub_iterations = sub_iterations
+        self.sample_size = sample_size
+        self.batch_size = batch_size
+        self.k1, self.k2 = k1, k2
+        self.alpha = 0.0 if alpha is None else float(alpha)
+        self.is_glauber_dict = is_glauber_dict
+        self.is_glauber_recons = is_glauber_recons
+        self.weighted_patches = weighted_patches
+        self.dtype = dtype
+
+        self.B = path_adj(k1, k2)
+        self._B_bytes = np.asarray(self.B, np.int8).tobytes()
+        self._parents = tree_parents(self.B)
+        k = k1 + k2 + 1
+        self.key = jax.random.key(seed)
+        self.key, xk, tk = jax.random.split(self.key, 3)
+        x0 = jax.random.randint(xk, (), 0, self.G.num_nodes)
+        self.emb = tree_sample(tk, self._parents, self.G, x0)
+        self.state = init_state(self.key, k * k, n_components, dtype=dtype)
+        self.code = jnp.zeros((n_components, sample_size), dtype)
+
+    @property
+    def W(self):
+        return self.state.W
+
+    @W.setter
+    def W(self, value):
+        self.state = dataclasses.replace(
+            self.state, W=jnp.asarray(value, self.dtype))
+
+    def train_dict(self):
+        """Run the fused NDL training; returns the dictionary (k^2, r)."""
+        self.state, self.code, self.emb = ndl_train(
+            self.state, self.G, self.emb, self._B_bytes, self._parents,
+            mcmc_iterations=self.MCMC_iterations,
+            sample_size=self.sample_size,
+            inner_iterations=self.sub_iterations,
+            batch_size=self.batch_size,
+            alpha=self.alpha,
+            use_glauber=self.is_glauber_dict,
+            weighted=self.weighted_patches,
+        )
+        return self.state.W
+
+    def reconstruct_network(self, recons_iter: int = 100, alpha: float = 0.0):
+        """Returns the reconstructed simple graph as a dense boolean
+        (N, N) matrix (``reconstruct_network``, ``:444-511``)."""
+        self.key, rk = jax.random.split(self.key)
+        recon, cnt, self.emb = reconstruct_network(
+            self.state.W, self.G, self.emb, rk, self._B_bytes, self._parents,
+            recons_iter=recons_iter, alpha=alpha,
+            use_glauber=self.is_glauber_recons,
+            weighted=self.weighted_patches,
+        )
+        self.recon_weights = recon
+        simple = jnp.logical_and(jnp.round(recon) > 0, cnt > 0)
+        simple = jnp.logical_or(simple, simple.T)
+        self.G_recons = simple
+        return simple
+
+    def compute_recons_accuracy(self, G_recons=None):
+        """``|E(G & G_recons)| / |E(G)|``
+        (``network_reconstruction_nx.py:513-524``)."""
+        if G_recons is None:
+            G_recons = self.G_recons
+        adj = np.asarray(self.G.adj)
+        rec = np.array(G_recons)  # writable copy
+        np.fill_diagonal(rec, False)
+        common = np.logical_and(adj, rec).sum() // 2
+        total = adj.sum() // 2
+        return float(common) / max(int(total), 1)

@@ -1,0 +1,119 @@
+"""Device-resident graph representation for network dictionary learning.
+
+The reference keeps a ``networkx.Graph`` and does per-node Python set
+intersections (``/root/reference/network_reconstruction_nx.py:50-54,
+136-173``). Here a graph is a pytree of fixed-shape device arrays:
+
+- ``adj``  — (N, N) dense boolean adjacency (the common-neighbor
+  intersections of the Glauber kernel become row-wise ANDs);
+- ``weight`` — (N, N) float edge weights (binary graphs: 0/1; WAN
+  matrices keep their normalized weights);
+- ``nbr``  — (N, max_deg) padded neighbor table for O(1) uniform
+  neighbor draws;
+- ``deg``  — (N,) degrees;
+- ``node_ids`` — host-side mapping from array index to original node
+  label (networkx orders nodes by first appearance in the edge list; we
+  preserve that so reconstructions map back to the same labels,
+  mirroring ``np2nx``/``nx2np`` at ``:74-84``).
+
+Dense (N, N) storage is the right TPU trade for the reference's graphs
+(torus 100, WAN 211, facebook ~4k, arxiv ~5k nodes); a blocked/bitset
+variant is the documented scaling path beyond ~30k nodes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Graph", "graph_from_edgelist", "graph_from_adjacency", "load_edgelist"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    adj: jax.Array      # (N, N) bool
+    weight: jax.Array   # (N, N) float32
+    nbr: jax.Array      # (N, max_deg) int32, padded with 0
+    deg: jax.Array      # (N,) int32
+    # static metadata: original node labels by array index (hashable
+    # tuple so jitted functions taking a Graph can cache on it)
+    node_ids: tuple = dataclasses.field(
+        metadata=dict(static=True), default=())
+
+    @property
+    def num_nodes(self) -> int:
+        return self.adj.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return int(np.asarray(self.deg).sum()) // 2
+
+
+def _build(adj_np: np.ndarray, weight_np: np.ndarray, node_ids) -> Graph:
+    n = adj_np.shape[0]
+    deg = adj_np.sum(axis=1).astype(np.int32)
+    max_deg = max(int(deg.max()), 1)
+    nbr = np.zeros((n, max_deg), np.int32)
+    for i in range(n):
+        nz = np.flatnonzero(adj_np[i])
+        nbr[i, : len(nz)] = nz
+    return Graph(
+        adj=jnp.asarray(adj_np, jnp.bool_),
+        weight=jnp.asarray(weight_np, jnp.float32),
+        nbr=jnp.asarray(nbr),
+        deg=jnp.asarray(deg),
+        node_ids=tuple(int(v) for v in np.asarray(node_ids)),
+    )
+
+
+def graph_from_edgelist(edges, num_nodes: int | None = None) -> Graph:
+    """Build a simple undirected graph from an (E, 2) edge array.
+
+    Node labels may be arbitrary ints; indices are assigned by first
+    appearance (networkx ``Graph(edgelist)`` ordering, matching the
+    reference ingest at ``network_reconstruction_nx.py:50-54``).
+    """
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    order: dict[int, int] = {}
+    for a, b in edges:
+        if int(a) not in order:
+            order[int(a)] = len(order)
+        if int(b) not in order:
+            order[int(b)] = len(order)
+    node_ids = np.array(list(order.keys()), dtype=np.int64)
+    n = num_nodes or len(order)
+    adj = np.zeros((n, n), bool)
+    for a, b in edges:
+        ia, ib = order[int(a)], order[int(b)]
+        if ia != ib:
+            adj[ia, ib] = True
+            adj[ib, ia] = True
+    return _build(adj, adj.astype(np.float32), node_ids)
+
+
+def graph_from_adjacency(A, *, normalize: bool = False) -> Graph:
+    """Build a graph from a (weighted) adjacency matrix.
+
+    ``normalize=True`` divides by the max (the WAN convention,
+    ``network_reconstruction_nx.py:64-67``). Binary structure is
+    ``A > 0``; weights are kept for weighted-patch extraction.
+    """
+    A = np.asarray(A, np.float64)
+    if normalize and A.max() > 0:
+        A = A / A.max()
+    np.fill_diagonal(A, 0.0)
+    adj = A > 0
+    adj = adj | adj.T
+    W = np.where(A > 0, A, A.T)
+    return _build(adj, W.astype(np.float32), np.arange(A.shape[0]))
+
+
+def load_edgelist(path: str, delimiter: str = ",") -> Graph:
+    """Read a comma-delimited integer edge list file
+    (``network_reconstruction_nx.py:50-54``)."""
+    edges = np.genfromtxt(path, delimiter=delimiter, dtype=np.int64)
+    return graph_from_edgelist(edges)

@@ -1,0 +1,211 @@
+"""MCMC motif-homomorphism samplers for network dictionary learning.
+
+Re-designs the reference's networkx-based Glauber / Pivot chains
+(``/root/reference/network_reconstruction_nx.py:108-340``) as jitted
+device kernels over the dense :class:`~onmf_ontf_ndl_tpu.data.graphs.Graph`
+pytree:
+
+- the Glauber move's common-neighbor set intersection (``:160-166``)
+  becomes a row-wise AND over adjacency rows + masked categorical draw;
+- the pivot move is the reference's actually-running variant: an MH
+  random walk on the root with acceptance ``min(1, deg(x)/deg(y))``
+  (``RW_update``, ``:175-199``) followed by re-growing the tree
+  (``Pivot_update``, ``:265-278``). (The degree-power
+  ``pivot_acceptance_prob`` variant at ``:201-209`` references an
+  undefined attribute and is dead code in the reference; per SURVEY.md §7
+  we keep MH-walk pivoting as the pivot kernel.)
+- k x k patches gather ``adj[emb[q], emb[r]]`` directly (``:301-305``);
+  weighted graphs gather ``weight`` instead.
+
+Chains are sequential by definition; throughput comes from vmapping
+ensembles of chains (the reference runs exactly one chain;
+:func:`sample_patches` keeps that for parity and
+:func:`sample_patches_ensemble` scales it).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from onmf_ontf_ndl_tpu.data.graphs import Graph
+
+__all__ = [
+    "path_adj",
+    "tree_parents",
+    "tree_sample",
+    "rw_update",
+    "glauber_update",
+    "pivot_update",
+    "patch_from_embedding",
+    "sample_patches",
+    "sample_patches_ensemble",
+]
+
+
+def path_adj(k1: int, k2: int) -> np.ndarray:
+    """Adjacency of the path motif with k1 left / k2 right arms rooted at
+    node 0 (``network_reconstruction_nx.py:86-95``)."""
+    if k1 == 0 or k2 == 0:
+        k3 = max(k1, k2)
+        return np.eye(k3 + 1, k=1, dtype=int)
+    A = np.eye(k1 + k2 + 1, k=1, dtype=int)
+    A[k1, k1 + 1] = 0
+    A[0, k1 + 1] = 1
+    return A
+
+
+def tree_parents(B: np.ndarray) -> tuple[int, ...]:
+    """Parent of each non-root motif node under depth-first ordering:
+    the minimum in-neighbor index (``find_parent``,
+    ``network_reconstruction_nx.py:100-106``). Host-side/static."""
+    B = np.asarray(B)
+    parents = []
+    for i in range(1, B.shape[0]):
+        js = np.flatnonzero(B[:, i] == 1)
+        parents.append(int(js.min()) if len(js) else 0)
+    return tuple(parents)
+
+
+def _uniform_neighbor(key: jax.Array, g: Graph, x: jax.Array) -> jax.Array:
+    """Uniform draw from the neighbors of x; returns x itself when x is
+    isolated (the reference's tree_sample fallback, ``:128-131``)."""
+    d = g.deg[x]
+    idx = jax.random.randint(key, (), 0, jnp.maximum(d, 1))
+    y = g.nbr[x, idx]
+    return jnp.where(d > 0, y, x)
+
+
+def _uniform_from_mask(key: jax.Array, mask: jax.Array) -> jax.Array:
+    """Uniform draw from the True entries of a boolean vector; uniform
+    over all indices when the mask is empty (the reference's rejected
+    Glauber move fallback, ``:167-172``)."""
+    any_true = jnp.any(mask)
+    logits = jnp.where(jnp.logical_or(mask, jnp.logical_not(any_true)),
+                       0.0, -jnp.inf)
+    return jax.random.categorical(key, logits)
+
+
+def tree_sample(key: jax.Array, parents: tuple[int, ...], g: Graph,
+                x: jax.Array) -> jax.Array:
+    """Grow a motif embedding from pivot x by sampling, for each node in
+    depth-first order, a uniform neighbor of its parent's image
+    (``tree_sample``, ``network_reconstruction_nx.py:108-134``)."""
+    k = len(parents) + 1
+    emb = jnp.zeros((k,), jnp.int32).at[0].set(jnp.asarray(x, jnp.int32))
+    keys = jax.random.split(key, max(k - 1, 1))
+    for i in range(1, k):
+        y = _uniform_neighbor(keys[i - 1], g, emb[parents[i - 1]])
+        emb = emb.at[i].set(jnp.asarray(y, jnp.int32))
+    return emb
+
+
+def rw_update(key: jax.Array, g: Graph, x: jax.Array) -> jax.Array:
+    """MH random walk step with uniform stationary distribution:
+    propose a uniform neighbor y, accept w.p. min(1, deg x / deg y)
+    (``RW_update``, ``network_reconstruction_nx.py:175-199``); isolated
+    x jumps to a uniform node."""
+    kn, ku, kj = jax.random.split(key, 3)
+    y = _uniform_neighbor(kn, g, x)
+    accept = (jax.random.uniform(ku, ())
+              < g.deg[x].astype(jnp.float32)
+              / jnp.maximum(g.deg[y], 1).astype(jnp.float32))
+    y = jnp.where(accept, y, x)
+    jump = jax.random.randint(kj, (), 0, g.num_nodes)
+    return jnp.where(g.deg[x] > 0, y, jump).astype(jnp.int32)
+
+
+def glauber_update(key: jax.Array, B: np.ndarray, parents: tuple[int, ...],
+                   g: Graph, emb: jax.Array) -> jax.Array:
+    """One Glauber move: pick a uniform motif node j and resample its
+    image uniformly from the common neighbors of the images of j's motif
+    neighbors (``glauber_gen_update``,
+    ``network_reconstruction_nx.py:136-173``)."""
+    k = emb.shape[0]
+    if k == 1:
+        # single-node motif behaves as the MH walk (reference :144-153)
+        return emb.at[0].set(rw_update(key, g, emb[0]))
+    kj, ks = jax.random.split(key)
+    j = jax.random.randint(kj, (), 0, k)
+    Bj = jnp.asarray((B + B.T) > 0)          # motif neighbor indicator
+    sel = Bj[j]                               # (k,) which motif nodes constrain j
+    rows = g.adj[emb]                         # (k, N) adjacency rows of images
+    cmn = jnp.all(jnp.logical_or(rows, jnp.logical_not(sel)[:, None]), axis=0)
+    y = _uniform_from_mask(ks, cmn)
+    return emb.at[j].set(y.astype(jnp.int32))
+
+
+def pivot_update(key: jax.Array, B: np.ndarray, parents: tuple[int, ...],
+                 g: Graph, emb: jax.Array) -> jax.Array:
+    """Pivot move: MH-walk the root, then re-grow the whole tree
+    (``Pivot_update``, ``network_reconstruction_nx.py:265-278``)."""
+    kw, kt = jax.random.split(key)
+    x0 = rw_update(kw, g, emb[0])
+    return tree_sample(kt, parents, g, x0)
+
+
+def patch_from_embedding(g: Graph, emb: jax.Array, *,
+                         weighted: bool = False) -> jax.Array:
+    """k x k induced adjacency (or weight) patch of an embedding
+    (``chd_gen_mx``, ``network_reconstruction_nx.py:301-305``)."""
+    M = g.weight if weighted else g.adj.astype(jnp.float32)
+    return M[emb[:, None], emb[None, :]].astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("B_bytes", "parents", "num", "use_glauber", "weighted"),
+)
+def _sample_patches(key, g, emb0, B_bytes, parents, num, use_glauber, weighted):
+    B = np.frombuffer(B_bytes, dtype=np.int8).reshape(emb0.shape[0], -1)
+
+    def step(emb, k):
+        if use_glauber:
+            emb = glauber_update(k, B, parents, g, emb)
+        else:
+            emb = pivot_update(k, B, parents, g, emb)
+        patch = patch_from_embedding(g, emb, weighted=weighted)
+        return emb, patch.reshape(-1)
+
+    keys = jax.random.split(key, num)
+    emb, patches = lax.scan(step, emb0, keys)
+    return patches.T, emb  # (k*k, num), final embedding
+
+
+def sample_patches(key: jax.Array, g: Graph, emb0: jax.Array, B: np.ndarray,
+                   num: int, *, use_glauber: bool = True,
+                   weighted: bool = False):
+    """Run one chain for ``num`` steps emitting a patch per step —
+    the reference's ``get_patches_glauber``
+    (``network_reconstruction_nx.py:315-329``, each step advancing the
+    chain by one move as ``chd_gen_mx(iterations=1)`` does).
+
+    Returns ``(X, emb)`` with X of shape (k^2, num).
+    """
+    parents = tree_parents(B)
+    B_bytes = np.asarray(B, np.int8).tobytes()
+    return _sample_patches(key, g, emb0, B_bytes, parents, int(num),
+                           bool(use_glauber), bool(weighted))
+
+
+def sample_patches_ensemble(key: jax.Array, g: Graph, emb0: jax.Array,
+                            B: np.ndarray, num: int, *,
+                            use_glauber: bool = True,
+                            weighted: bool = False):
+    """Vmapped chain ensemble: ``emb0`` is (C, k); returns
+    ``(X, embs)`` with X of shape (k^2, C*num) — C chains advanced
+    ``num`` steps each. The TPU-scale replacement for one long chain."""
+    chains = emb0.shape[0]
+    keys = jax.random.split(key, chains)
+    parents = tree_parents(B)
+    B_bytes = np.asarray(B, np.int8).tobytes()
+    Xs, embs = jax.vmap(
+        lambda k, e: _sample_patches(k, g, e, B_bytes, parents, int(num),
+                                     bool(use_glauber), bool(weighted))
+    )(keys, emb0)
+    k2 = Xs.shape[1]
+    return jnp.moveaxis(Xs, 1, 0).reshape(k2, -1), embs

@@ -1,0 +1,154 @@
+"""Tests for the graph container and MCMC motif samplers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onmf_ontf_ndl_tpu.data.graphs import graph_from_adjacency, graph_from_edgelist
+from onmf_ontf_ndl_tpu.samplers.motif import (
+    glauber_update,
+    patch_from_embedding,
+    path_adj,
+    rw_update,
+    sample_patches,
+    sample_patches_ensemble,
+    tree_parents,
+    tree_sample,
+)
+
+
+def torus_graph(m=8):
+    n = m * m
+    A = np.zeros((n, n), bool)
+    for i in range(m):
+        for j in range(m):
+            u = i * m + j
+            for (di, dj) in [(1, 0), (0, 1)]:
+                v = ((i + di) % m) * m + (j + dj) % m
+                A[u, v] = A[v, u] = True
+    return graph_from_adjacency(A)
+
+
+def test_path_adj_structure():
+    B = path_adj(0, 2)
+    assert B.tolist() == [[0, 1, 0], [0, 0, 1], [0, 0, 0]]
+    B = path_adj(1, 2)
+    # left arm 0-1, right arm 0-2-3
+    want = np.zeros((4, 4), int)
+    want[0, 1] = 1
+    want[0, 2] = 1
+    want[2, 3] = 1
+    assert (B == want).all()
+    assert tree_parents(path_adj(1, 2)) == (0, 0, 2)
+    assert tree_parents(path_adj(0, 3)) == (0, 1, 2)
+    assert path_adj(0, 0).shape == (1, 1)
+
+
+def test_graph_from_edgelist_first_appearance_order():
+    g = graph_from_edgelist([[7, 3], [3, 9], [9, 7]])
+    assert g.node_ids == (7, 3, 9)
+    assert g.num_nodes == 3 and g.num_edges == 3
+    assert np.asarray(g.deg).tolist() == [2, 2, 2]
+
+
+def test_tree_sample_embeds_motif():
+    g = torus_graph(6)
+    parents = tree_parents(path_adj(1, 2))
+    adj = np.asarray(g.adj)
+    for s in range(20):
+        emb = np.asarray(tree_sample(jax.random.key(s), parents, g,
+                                     jnp.int32(s % 36)))
+        for i, p in enumerate(parents):
+            assert adj[emb[i + 1], emb[p]], (emb, i)
+
+
+def test_rw_update_preserves_uniform():
+    # MH walk with min(1, deg x/deg y) has uniform stationary law; on a
+    # non-regular graph check one step from uniform stays uniform.
+    edges = [[0, 1], [1, 2], [2, 0], [2, 3], [3, 4], [4, 2], [0, 4]]
+    g = graph_from_edgelist(edges)
+    n = g.num_nodes
+    reps = 40000
+    keys = jax.random.split(jax.random.key(0), reps)
+    xs = jnp.arange(reps, dtype=jnp.int32) % n
+    ys = jax.vmap(lambda k, x: rw_update(k, g, x))(keys, xs)
+    counts = np.bincount(np.asarray(ys), minlength=n) / reps
+    assert np.abs(counts - 1.0 / n).max() < 0.01
+
+
+def test_glauber_single_step_conditional_law():
+    # exact one-step law: pick j uniform; resample emb[j] uniform over the
+    # common neighborhood of its motif-neighbor images (reference
+    # glauber_gen_update), with uniform-over-all fallback.
+    edges = [[0, 1], [1, 2], [2, 0], [2, 3], [3, 4], [4, 0], [1, 3]]
+    g = graph_from_edgelist(edges)
+    adj = np.asarray(g.adj)
+    n = g.num_nodes
+    B = path_adj(0, 2)
+    parents = tree_parents(B)
+    emb0 = np.array([0, 1, 2], np.int32)
+
+    Bsym = ((B + B.T) > 0)
+    want = {}
+    k = 3
+    for j in range(k):
+        mask = np.ones(n, bool)
+        for r in range(k):
+            if Bsym[r, j]:
+                mask &= adj[emb0[r]]
+        support = np.flatnonzero(mask) if mask.any() else np.arange(n)
+        for y in support:
+            e = emb0.copy()
+            e[j] = y
+            key = tuple(e)
+            want[key] = want.get(key, 0.0) + 1.0 / (k * len(support))
+
+    reps = 60000
+    keys = jax.random.split(jax.random.key(1), reps)
+    outs = jax.vmap(
+        lambda kk: glauber_update(kk, B, parents, g, jnp.asarray(emb0))
+    )(keys)
+    outs = np.asarray(outs)
+    counts = {}
+    for row in outs:
+        key = tuple(int(v) for v in row)
+        counts[key] = counts.get(key, 0) + 1
+    tv = 0.5 * sum(abs(counts.get(s, 0) / reps - p) for s, p in want.items())
+    tv += 0.5 * sum(c / reps for s, c in counts.items() if s not in want)
+    assert tv < 0.02, (tv, want, counts)
+
+
+def test_patch_from_embedding():
+    g = torus_graph(4)
+    emb = jnp.asarray([0, 1, 2], jnp.int32)
+    P = np.asarray(patch_from_embedding(g, emb))
+    adj = np.asarray(g.adj)
+    for q in range(3):
+        for r in range(3):
+            assert P[q, r] == float(adj[emb[q], emb[r]])
+
+
+def test_sample_patches_shapes_and_validity():
+    g = torus_graph(6)
+    B = path_adj(0, 2)
+    parents = tree_parents(B)
+    emb0 = tree_sample(jax.random.key(0), parents, g, jnp.int32(0))
+    X, emb = sample_patches(jax.random.key(1), g, emb0, B, 50)
+    assert X.shape == (9, 50)
+    x = np.asarray(X)
+    assert set(np.unique(x)).issubset({0.0, 1.0})
+    # path entries: each sampled patch must contain the motif's edges
+    # (emb[i] ~ emb[parent[i]] edges hold after a glauber move)
+    assert emb.shape == (3,)
+
+    Xe, embs = sample_patches_ensemble(
+        jax.random.key(2), g, jnp.stack([emb0] * 4), B, 25)
+    assert Xe.shape == (9, 100) and embs.shape == (4, 3)
+
+
+def test_weighted_patches():
+    A = np.array([[0, 2.0, 0], [2.0, 0, 1.0], [0, 1.0, 0]])
+    g = graph_from_adjacency(A, normalize=True)
+    emb = jnp.asarray([0, 1, 2], jnp.int32)
+    P = np.asarray(patch_from_embedding(g, emb, weighted=True))
+    assert np.isclose(P[0, 1], 1.0) and np.isclose(P[1, 2], 0.5)

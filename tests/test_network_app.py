@@ -1,0 +1,54 @@
+"""End-to-end network dictionary learning + reconstruction test."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
+from onmf_ontf_ndl_tpu.data.graphs import graph_from_adjacency
+
+
+def torus_adjacency(m=10):
+    n = m * m
+    A = np.zeros((n, n), bool)
+    for i in range(m):
+        for j in range(m):
+            u = i * m + j
+            for (di, dj) in [(1, 0), (0, 1)]:
+                v = ((i + di) % m) * m + (j + dj) % m
+                A[u, v] = A[v, u] = True
+    return A
+
+
+def test_ndl_torus_end_to_end():
+    g = graph_from_adjacency(torus_adjacency(10))
+    rec = NetworkReconstructor(
+        source=g, n_components=16, MCMC_iterations=10, sub_iterations=10,
+        sample_size=100, batch_size=20, k1=0, k2=2, alpha=0.1,
+        is_glauber_dict=True, is_glauber_recons=False, dtype=jnp.float64,
+    )
+    W = rec.train_dict()
+    assert W.shape == (9, 16)
+    assert (np.asarray(W) >= 0).all()
+    assert float(rec.state.t) == 10 * 10
+
+    recon = rec.reconstruct_network(recons_iter=4000)
+    acc = rec.compute_recons_accuracy()
+    # the torus is homogeneous; NDL should reconstruct most visited edges
+    assert 0.0 < acc <= 1.0
+    assert acc > 0.5, acc
+
+
+def test_ndl_glauber_recons_and_code():
+    g = graph_from_adjacency(torus_adjacency(6))
+    rec = NetworkReconstructor(
+        source=g, n_components=9, MCMC_iterations=5, sub_iterations=5,
+        sample_size=50, batch_size=10, k1=1, k2=1, alpha=0.0,
+        is_glauber_recons=True, dtype=jnp.float64,
+    )
+    rec.train_dict()
+    assert rec.code.shape == (9, 50)
+    assert np.asarray(rec.code).sum() > 0  # code accumulated
+    recon = rec.reconstruct_network(recons_iter=500)
+    assert recon.shape == (36, 36)
+    acc = rec.compute_recons_accuracy()
+    assert 0.0 <= acc <= 1.0
