@@ -1,0 +1,124 @@
+"""Headline benchmark: ONMF training throughput (patches/sec).
+
+Config per BASELINE.md: rank-25 ONMF on 10x10 color patches (d=300),
+measuring the full online step — nonnegative sparse coding (10 PGD sweeps
+with the reference's 0.01 relative-change stopping rule), streaming
+aggregate update, and column-BCD dictionary update.
+
+The baseline denominator is the CPU reference algorithm (a NumPy
+implementation with identical semantics to
+/root/reference/src/onmf.py:92-167,233-271), measured on this host at the
+reference's own scale. The TPU number is the fused lax.scan training path.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tpu_patches_per_sec, "unit": "patches/s",
+   "vs_baseline": tpu/cpu}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+D, R = 300, 25          # 10x10x3 color patches, rank 25
+CPU_BATCH = 100          # generous batch for the NumPy baseline
+TPU_BATCH = 4096
+SUB_ITER = 10
+STOP = 0.01
+
+
+# ----------------------------------------------------------------- CPU
+def _cpu_code(gram, proj, H, sub_iter, stop):
+    i, rel = 0, np.inf
+    while i < sub_iter and rel > stop:
+        Hp = H.copy()
+        for k in range(H.shape[0]):
+            g = gram[k] @ H - proj[k]
+            H[k] = np.maximum(
+                H[k] - g / (np.sqrt(i + 10.0) * (gram[k, k] + 1.0)), 0.0)
+        rel = (np.linalg.norm(H - Hp, 2) / np.linalg.norm(Hp, 2))
+        i += 1
+    return H
+
+
+def _cpu_step(X, W, A, B, t, rng):
+    gram = W.T @ W
+    proj = W.T @ X
+    H = _cpu_code(gram, proj, rng.random((W.shape[1], X.shape[1])),
+                  SUB_ITER, STOP)
+    w = 1.0 / t
+    A = (1 - w) * A + w * (H @ H.T)
+    B = (1 - w) * B + w * (H @ X.T)
+    W1 = W.copy()
+    for j in range(W.shape[1]):
+        col = W1[:, j] - (W1 @ A[:, j] - B[j]) / (A[j, j] + 1.0)
+        col = np.maximum(col, 0.0)
+        W1[:, j] = col / max(1.0, np.linalg.norm(col))
+    return W1, A, B
+
+
+def measure_cpu(min_seconds=3.0):
+    rng = np.random.default_rng(0)
+    pool = rng.random((D, 2048)).astype(np.float64)
+    W = rng.random((D, R))
+    A = np.zeros((R, R))
+    B = np.zeros((R, D))
+    # warmup
+    idx = rng.integers(0, pool.shape[1], CPU_BATCH)
+    W, A, B = _cpu_step(pool[:, idx], W, A, B, 1.0, rng)
+    steps, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < min_seconds:
+        idx = rng.integers(0, pool.shape[1], CPU_BATCH)
+        W, A, B = _cpu_step(pool[:, idx], W, A, B, 2.0 + steps, rng)
+        steps += 1
+    dt = time.perf_counter() - t0
+    return steps * CPU_BATCH / dt
+
+
+# ----------------------------------------------------------------- TPU
+def measure_tpu(iters=200):
+    import jax
+    import jax.numpy as jnp
+    from onmf_ontf_ndl_tpu.models.state import init_state
+    from onmf_ontf_ndl_tpu.models.onmf import train_dict
+
+    pool = jax.random.uniform(jax.random.key(1), (D, 8192))
+    state = init_state(jax.random.key(0), D, R)
+
+    def run(st, it):
+        st, _ = train_dict(st, pool, iterations=it + 1,
+                           batch_size=TPU_BATCH, alpha=0.0, beta=1.0,
+                           sub_iter=SUB_ITER, stopping_diff=STOP,
+                           track_code=False)
+        return st
+
+    # warmup/compile; NOTE: block_until_ready is unreliable on the axon
+    # remote backend — force a scalar host fetch to fence the computation.
+    st = run(state, iters)
+    float(jnp.sum(st.W))
+    t0 = time.perf_counter()
+    st = run(state, iters)
+    float(jnp.sum(st.W))
+    dt = time.perf_counter() - t0
+    return iters * TPU_BATCH / dt
+
+
+def main():
+    cpu_pps = measure_cpu()
+    print(f"cpu reference: {cpu_pps:,.0f} patches/s "
+          f"(batch {CPU_BATCH}, d={D}, r={R})", file=sys.stderr)
+    tpu_pps = measure_tpu()
+    print(f"tpu fused scan: {tpu_pps:,.0f} patches/s (batch {TPU_BATCH})",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "onmf_train_patches_per_sec_rank25_10x10color",
+        "value": round(tpu_pps, 1),
+        "unit": "patches/s",
+        "vs_baseline": round(tpu_pps / cpu_pps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

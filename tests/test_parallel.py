@@ -1,0 +1,89 @@
+"""Distributed tests on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from onmf_ontf_ndl_tpu.models.state import init_state
+from onmf_ontf_ndl_tpu.models.onmf import onmf_step
+from onmf_ontf_ndl_tpu.parallel.mesh import make_mesh
+from onmf_ontf_ndl_tpu.parallel.dp import dp_onmf_step, dp_train_dict
+from onmf_ontf_ndl_tpu.parallel.ising_sharded import sharded_checkerboard_sweeps
+from onmf_ontf_ndl_tpu.samplers.ising import init_lattice
+
+RNG = np.random.default_rng(7)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def test_dp_step_equals_single_device():
+    mesh = make_mesh({"dp": 8})
+    d, r, n = 24, 6, 64
+    W = RNG.random((d, r))
+    st = init_state(jax.random.key(0), d, r, dtype=jnp.float64, W=W)
+    X = jnp.asarray(RNG.random((d, n)))
+    H0 = jnp.asarray(RNG.random((r, n)))
+
+    st1, H1 = onmf_step(st, X, t=2.0, H0=H0, alpha=0.4, beta=0.9,
+                        stopping_diff=None)
+    st2, H2 = dp_onmf_step(mesh, st, X, t=2.0, H0=H0, alpha=0.4, beta=0.9,
+                           stopping_diff=None)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(st2.A), np.asarray(st1.A), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(st2.B), np.asarray(st1.B), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(st2.W), np.asarray(st1.W), rtol=1e-10)
+
+
+def test_dp_step_tracks_xxt():
+    mesh = make_mesh({"dp": 8})
+    d, r, n = 16, 4, 32
+    st = init_state(jax.random.key(1), d, r, track_xxt=True, dtype=jnp.float64)
+    X = jnp.asarray(RNG.random((d, n)))
+    H0 = jnp.asarray(RNG.random((r, n)))
+    st2, _ = dp_onmf_step(mesh, st, X, t=1.0, H0=H0, stopping_diff=None)
+    np.testing.assert_allclose(np.asarray(st2.C), np.asarray(X @ X.T),
+                               rtol=1e-10)
+
+
+def test_dp_train_dict_runs():
+    mesh = make_mesh({"dp": 8})
+    d, r, n = 20, 5, 80
+    st = init_state(jax.random.key(2), d, r, dtype=jnp.float64)
+    X = jnp.asarray(RNG.random((d, n)))
+    st2 = dp_train_dict(mesh, st, X, iterations=6, batch_size_per_device=4)
+    assert float(st2.t) == 6.0
+    W = np.asarray(st2.W)
+    assert (W >= 0).all()
+    assert (np.linalg.norm(W, axis=0) <= 1 + 1e-9).all()
+    # aggregates replicated identically across devices
+    assert np.isfinite(np.asarray(st2.A)).all()
+
+
+def test_halo_neighbor_sum_matches_roll():
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from onmf_ontf_ndl_tpu.parallel.ising_sharded import _halo_neighbor_sum
+    from onmf_ontf_ndl_tpu.samplers.ising import _neighbor_sum
+
+    mesh = make_mesh({"dp": 8})
+    lat = jnp.asarray(RNG.random((16, 16)), jnp.float32)
+    want = np.asarray(_neighbor_sum(lat))
+    fn = shard_map(
+        lambda x: _halo_neighbor_sum(x, "dp"), mesh=mesh,
+        in_specs=(P("dp", None),), out_specs=P("dp", None),
+        check_vma=False)
+    got = np.asarray(jax.jit(fn)(lat))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_sharded_ising_physics():
+    mesh = make_mesh({"dp": 8})
+    lat = init_lattice(jax.random.key(3), 32)
+    out = sharded_checkerboard_sweeps(mesh, jax.random.key(4), lat, 300,
+                                      T=1.5)
+    s = np.asarray(out, np.float32)
+    corr = np.mean(s * np.roll(s, 1, 0))
+    assert corr > 0.85  # strong local order below Tc
+    assert set(np.unique(s)).issubset({-1.0, 1.0})
