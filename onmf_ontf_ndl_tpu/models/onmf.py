@@ -112,7 +112,7 @@ def onmf_step(
     jax.jit,
     static_argnames=(
         "iterations", "batch_size", "subsample", "sub_iter",
-        "use_stopping", "track_code", "dict_from",
+        "use_stopping", "track_code", "dict_from", "backend",
     ),
 )
 def _train_scan(
@@ -129,6 +129,7 @@ def _train_scan(
     use_stopping: bool,
     track_code: bool,
     dict_from: str,
+    backend: str = "xla",
 ):
     n = X.shape[1]
     r = state.r
@@ -146,7 +147,7 @@ def _train_scan(
         H0 = jax.random.uniform(hkey, (r, idx.shape[0]), dtype=X.dtype)
         st, H = _step_inner(
             st, Xb, t0 + jnp.asarray(i, X.dtype), H0, alpha, beta,
-            sub_iter, use_stopping, stopping_diff, dict_from,
+            sub_iter, use_stopping, stopping_diff, dict_from, backend,
         )
         if track_code:
             code = code.at[:, idx].add(H)
@@ -165,23 +166,44 @@ def _train_scan(
 
 
 def _step_inner(
-    st, Xb, t, H0, alpha, beta, sub_iter, use_stopping, stopping_diff, dict_from
+    st, Xb, t, H0, alpha, beta, sub_iter, use_stopping, stopping_diff,
+    dict_from, backend="xla",
 ):
-    """onmf_step with the stopping rule threaded as a traced value."""
+    """onmf_step with the stopping rule threaded as a traced value.
+
+    backend="pallas" (fixed-sweep path only) fuses the Gauss-Seidel
+    sweeps and the BCD dictionary update into single TPU kernels
+    (ops/pallas/coder_kernel.py); numerics agree with the XLA path to
+    float32 accumulation-order tolerance (~1e-3 relative after 10
+    ReLU-thresholded sweeps).
+    """
     W, A, B, C = st.W, st.A, st.B, st.C
     gram = W.T @ W
     proj = W.T @ Xb
-    from onmf_ontf_ndl_tpu.ops.coder import _code_impl
+    use_pallas = backend == "pallas" and not use_stopping
+    if use_pallas:
+        from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import coder_sweeps
 
-    H = _code_impl(
-        gram, proj, H0, jnp.asarray(alpha, W.dtype), stopping_diff,
-        jnp.asarray(0.0, W.dtype), int(sub_iter), use_stopping, False,
-    )
+        H = coder_sweeps(gram, proj, H0, jnp.asarray(alpha, W.dtype),
+                         sub_iter=int(sub_iter))
+    else:
+        from onmf_ontf_ndl_tpu.ops.coder import _code_impl
+
+        H = _code_impl(
+            gram, proj, H0, jnp.asarray(alpha, W.dtype), stopping_diff,
+            jnp.asarray(0.0, W.dtype), int(sub_iter), use_stopping, False,
+        )
     w_t = t ** (-jnp.asarray(beta, W.dtype))
     A1 = (1.0 - w_t) * A + w_t * (H @ H.T)
     B1 = (1.0 - w_t) * B + w_t * (H @ Xb.T)
     C1 = (1.0 - w_t) * C + w_t * (Xb @ Xb.T) if st.tracks_xxt else C
-    W1 = dict_update_bcd(W, A, B) if dict_from == "stale" else dict_update_bcd(W, A1, B1)
+    A_u, B_u = (A, B) if dict_from == "stale" else (A1, B1)
+    if use_pallas:
+        from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import dict_update_sweep
+
+        W1 = dict_update_sweep(W, A_u, B_u)
+    else:
+        W1 = dict_update_bcd(W, A_u, B_u)
     return dataclasses.replace(st, W=W1, A=A1, B=B1, C=C1, t=t), H
 
 
@@ -199,6 +221,7 @@ def train_dict(
     track_code: bool = True,
     dict_from: str = "stale",
     code0: jax.Array | None = None,
+    backend: str = "auto",
 ) -> tuple[OnmfState, jax.Array]:
     """Run ``iterations - 1`` online steps over minibatches of ``X`` (d, n).
 
@@ -216,11 +239,14 @@ def train_dict(
     sd = jnp.asarray(stopping_diff if use_stopping else 0.0, X.dtype)
     if iterations <= 1:
         return state, code0
+    from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
     return _train_scan(
         state, X, code0,
         jnp.asarray(alpha, X.dtype), jnp.asarray(beta, X.dtype), sd,
         int(iterations), int(batch_size), bool(subsample), int(sub_iter),
         use_stopping, bool(track_code), dict_from,
+        backend=resolve_backend(backend, use_stopping),
     )
 
 

@@ -1,0 +1,168 @@
+"""Fused Pallas TPU kernels for the sequential BCD sweeps.
+
+The two hot sequential loops of online NMF (SURVEY.md §3.1 hot loops
+#2/#3) are Gauss-Seidel row/column sweeps — hundreds of tiny dependent
+matvecs that, as individual XLA ops, each pay dispatch overhead. These
+kernels run the whole sweep schedule on-chip: operands live in VMEM,
+the inner ``sub_iter x r`` loop is a ``fori_loop`` inside one kernel.
+
+- :func:`coder_sweeps` — the nonnegative-LASSO row sweeps of
+  ``update_code_within_radius`` (``/root/reference/src/onmf.py:252-263``)
+  with a fixed sweep count (the jit/scan fast path; the early-stopping
+  variant lives in ``ops/coder.py``). Numerically identical to
+  ``nonneg_code_gram(..., stopping_diff=None)``.
+- :func:`dict_update_sweep` — the column-BCD dictionary update
+  (``/root/reference/src/onmf.py:110-114``), run on W^T so the sequential
+  axis is the sublane dimension. Requires symmetric A (true for the
+  aggregate A = agg H H^T). Numerically identical to
+  ``dict_update_bcd``.
+
+Both kernels tile the independent (column) axis across the grid and pad
+the rank axis to the float32 sublane multiple; padded rows carry zero A/B
+and cannot influence real rows (their A columns are zero).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["coder_sweeps", "dict_update_sweep"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _coder_kernel(alpha_ref, inv_diag_ref, A_ref, B_ref, H0_ref, H_ref, *,
+                  r, sub_iter, nonneg_norm):
+    """One grid cell: full sweep schedule on an (R, TN) tile of H.
+
+    inv_diag_ref: SMEM (1, R) array of the diagonal A[k,k] — SMEM because
+    VMEM scalar loads at dynamic lane offsets are not supported by Mosaic.
+    The step divides in-kernel (not reciprocal-multiply) to match the XLA
+    path's rounding.
+
+    nonneg_norm=False: coder semantics (relu row, step rsqrt(i+10)/(Akk+1)).
+    nonneg_norm=True: dictionary semantics (relu + unit-ball column norm,
+    step 1/(Akk+1), single sweep expected).
+    """
+    H_ref[...] = H0_ref[...]
+    alpha = alpha_ref[0, 0]
+
+    def sweep(i, _):
+        rs = jax.lax.rsqrt(i.astype(jnp.float32) + 10.0)
+
+        def row(k, _):
+            a_row = A_ref[pl.ds(k, 1), :]            # (1, R)
+            h = H_ref[...]                            # (R, TN)
+            grad = jax.lax.dot_general(
+                a_row, h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) - B_ref[pl.ds(k, 1), :] + alpha
+            if nonneg_norm:
+                step = 1.0 / (inv_diag_ref[0, k] + 1.0)
+            else:
+                step = rs / (inv_diag_ref[0, k] + 1.0)
+            new_row = jnp.maximum(H_ref[pl.ds(k, 1), :] - step * grad, 0.0)
+            if nonneg_norm:
+                nrm = jnp.sqrt(jnp.sum(new_row * new_row))
+                new_row = new_row / jnp.maximum(1.0, nrm)
+            H_ref[pl.ds(k, 1), :] = new_row
+            return 0
+
+        return jax.lax.fori_loop(0, r, row, 0)
+
+    jax.lax.fori_loop(0, sub_iter, sweep, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sub_iter", "block_n", "interpret"))
+def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
+                 alpha=0.0, *, sub_iter: int = 10, block_n: int = 512,
+                 interpret: bool = False) -> jax.Array:
+    """Fused nonnegative sparse-coding sweeps from Gram form.
+
+    Args:
+      A: (r, r) = W^T W.   B: (r, n) = W^T X.   H0: (r, n) start iterate.
+    Returns (r, n) code after exactly ``sub_iter`` Gauss-Seidel sweeps.
+    """
+    r, n = B.shape
+    R = _round_up(r, 8)
+    TN = min(block_n, _round_up(n, 128))
+    N = _round_up(n, TN)
+    f32 = jnp.float32
+    Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
+    Bp = jnp.zeros((R, N), f32).at[:r, :n].set(B.astype(f32))
+    Hp = jnp.zeros((R, N), f32).at[:r, :n].set(H0.astype(f32))
+    alpha_arr = jnp.full((1, 1), alpha, f32)
+    inv_diag = jnp.zeros((1, R), f32).at[0, :r].set(jnp.diag(A).astype(f32))
+
+    out = pl.pallas_call(
+        functools.partial(_coder_kernel, r=r, sub_iter=sub_iter,
+                          nonneg_norm=False),
+        out_shape=jax.ShapeDtypeStruct((R, N), f32),
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, R), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(alpha_arr, inv_diag, Ap, Bp, Hp)
+    return out[:r, :n].astype(B.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dict_update_sweep(W: jax.Array, A: jax.Array, B: jax.Array,
+                      *, interpret: bool = False) -> jax.Array:
+    """Fused column-BCD dictionary update (one sweep over all columns).
+
+    Runs on W^T so the sequential axis is the sublane dim; relies on the
+    symmetry of A (A[:, j] == A[j, :] for the H H^T aggregate).
+    Args: W (d, r), A (r, r), B (r, d). Returns updated W (d, r).
+    """
+    d, r = W.shape
+    R = _round_up(r, 8)
+    D = _round_up(d, 128)
+    f32 = jnp.float32
+    Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
+    Bp = jnp.zeros((R, D), f32).at[:r, :d].set(B.astype(f32))
+    Wt = jnp.zeros((R, D), f32).at[:r, :d].set(W.T.astype(f32))
+    alpha_arr = jnp.zeros((1, 1), f32)
+    inv_diag = jnp.zeros((1, R), f32).at[0, :r].set(jnp.diag(A).astype(f32))
+
+    out = pl.pallas_call(
+        functools.partial(_coder_kernel, r=r, sub_iter=1, nonneg_norm=True),
+        out_shape=jax.ShapeDtypeStruct((R, D), f32),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, R), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, D), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(alpha_arr, inv_diag, Ap, Bp, Wt)
+    return out[:r, :d].T.astype(W.dtype)
