@@ -33,10 +33,9 @@ from onmf_ontf_ndl_tpu.models.onmf import _train_scan
 from onmf_ontf_ndl_tpu.models.state import OnmfState, init_state
 from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
 from onmf_ontf_ndl_tpu.ops.patches import (
-    all_patch_corners,
     extract_patches,
-    grid_patch_corners,
-    overlap_average,
+    extract_patches_grid,
+    overlap_average_grid,
     random_patch_corners,
 )
 
@@ -105,7 +104,7 @@ def reconstruct(
     stride: int = 1,
     alpha: float = 1.0,
     sub_iter: int = 10,
-    use_stopping: bool = True,
+    use_stopping: bool = False,
     stopping_diff: float = 0.01,
     full_grid: bool = False,
 ) -> jax.Array:
@@ -115,19 +114,26 @@ def reconstruct(
     ``full_grid=True`` uses every patch position (the
     ``extract_patches_2d``/``reconstruct_from_patches_2d`` grayscale path,
     ``:340-356``); otherwise a strided grid exclusive of the last start.
+
+    Default ``use_stopping=False``: reconstruction runs the full fixed
+    sweep count (routing to the Pallas kernel on TPU). The reference's
+    batched early-stopping rule needs a spectral norm of the whole
+    (r, num_patches) iterate per sweep, which is prohibitively slow at
+    reconstruction widths; fixed sweeps only ever run MORE coder
+    iterations, never fewer.
     """
     k = patch_size
-    if full_grid:
-        corners = all_patch_corners(img.shape[:2], k)
-    else:
-        corners = grid_patch_corners(img.shape[:2], k, stride)
-    X = extract_patches(img, corners, k)
+    # gather/scatter-free regular-grid forms: conv-patches extraction and
+    # pad-dilation folding (the generic corner-based ops cost ~200s of XLA
+    # scatter compilation at real image sizes)
+    X = extract_patches_grid(img, k, stride, inclusive=full_grid)
     H = nonneg_code(
         X, W, key=key, alpha=alpha, sub_iter=sub_iter,
         stopping_diff=(stopping_diff if use_stopping else None),
     )
     recon_patches = W @ H
-    return overlap_average(recon_patches, corners, k, img.shape)
+    return overlap_average_grid(recon_patches, k, stride, img.shape,
+                                inclusive=full_grid)
 
 
 class ImageReconstructor:
@@ -147,6 +153,7 @@ class ImageReconstructor:
         downscale_factor: int = 2,
         patch_size: int = 7,
         is_matrix: bool = False,
+        is_stack: bool = False,
         is_color: bool = True,
         alpha: float | None = None,
         beta: float | None = None,
@@ -156,9 +163,20 @@ class ImageReconstructor:
         if data is None:
             if path is None:
                 raise ValueError("ImageReconstructor: provide path or data")
-            data = load_image(path, is_matrix=is_matrix, is_color=is_color,
-                              dtype=dtype)
+            if is_stack:
+                # stack of matrices, e.g. an Ising trajectory .npy
+                # (reference stack_to_patches,
+                # image_reconstruction.py:208-229): +-1 -> [0, 1]
+                import numpy as _np
+
+                data = (_np.load(path) + 1.0) / 2.0
+            else:
+                data = load_image(path, is_matrix=is_matrix,
+                                  is_color=is_color, dtype=dtype)
         self.data = jnp.asarray(data, dtype)
+        self.is_stack = is_stack
+        if is_stack and self.data.ndim != 3:
+            raise ValueError("is_stack expects a (m, H, W) array")
         self.path = path
         self.n_components = n_components
         self.iterations = iterations
@@ -188,7 +206,25 @@ class ImageReconstructor:
             self.state, W=jnp.asarray(value, self.dtype))
 
     def train_dict(self):
-        """Run the full streaming training; returns the dictionary (d, r)."""
+        """Run the full streaming training; returns the dictionary (d, r).
+
+        With ``is_stack=True`` the outer loop streams over the stacked
+        matrices (one warm-started round per frame), the stack analogue of
+        the reference's ``read_patches_stack`` path
+        (``image_reconstruction.py:106-115,208-229``)."""
+        if self.is_stack:
+            from onmf_ontf_ndl_tpu.apps.video import train_video_dict
+
+            self.state = train_video_dict(
+                self.state, self.data,
+                num_patches=self.num_patches,
+                inner_iterations=self.sub_iterations,
+                batch_size=self.batch_size,
+                patch_size=self.patch_size,
+                epochs=max(1, self.iterations // self.data.shape[0]),
+                alpha=self.alpha, beta=self.beta,
+            )
+            return self.state.W
         self.state = train_image_dict(
             self.state, self.data,
             outer_iterations=self.iterations,

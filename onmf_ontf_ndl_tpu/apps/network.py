@@ -140,11 +140,19 @@ def reconstruct_network(
     keys = jax.random.split(ck, recons_iter)
     emb, embs = lax.scan(step, emb0, keys)          # embs: (P, k)
 
-    M = g.weight if weighted else g.adj.astype(jnp.float32)
-    X = M[embs[:, :, None], embs[:, None, :]].reshape(recons_iter, k * k).T
+    if weighted:
+        if g.weight is None:
+            raise ValueError("weighted reconstruction needs a weighted Graph")
+        M = g.weight
+    else:
+        M = g.adj
+    X = M[embs[:, :, None], embs[:, None, :]].reshape(
+        recons_iter, k * k).astype(W.dtype).T
 
+    # fixed sweeps (no spectral-norm stopping): routes to the Pallas
+    # kernel on TPU and avoids the SVD-in-while_loop cost at recon widths
     H = nonneg_code(X, W, key=hk, alpha=alpha, sub_iter=sub_iter,
-                    stopping_diff=0.01)
+                    stopping_diff=None)
     vals = (W @ H).T.reshape(recons_iter, k, k)
 
     n = g.num_nodes
@@ -248,6 +256,29 @@ class NetworkReconstructor:
         simple = jnp.logical_or(simple, simple.T)
         self.G_recons = simple
         return simple
+
+    def show_cov(self, save_path=None, show=False):
+        """Trace-normalized covariance of the accumulated code matrix
+        (``show_cov``, ``network_reconstruction_nx.py:429-442``)."""
+        from onmf_ontf_ndl_tpu.utils.metrics import code_covariance
+
+        cov = code_covariance(self.code)
+        if save_path or show:
+            import matplotlib
+            if save_path and not show:
+                matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(4, 4.5),
+                                   subplot_kw={"xticks": [], "yticks": []})
+            im = ax.imshow(np.asarray(cov))
+            fig.colorbar(im)
+            if save_path:
+                fig.savefig(save_path, bbox_inches="tight")
+            if show:
+                plt.show()
+            plt.close(fig)
+        return cov
 
     def compute_recons_accuracy(self, G_recons=None):
         """``|E(G & G_recons)| / |E(G)|``

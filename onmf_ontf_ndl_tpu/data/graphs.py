@@ -36,7 +36,8 @@ __all__ = ["Graph", "graph_from_edgelist", "graph_from_adjacency", "load_edgelis
 @dataclasses.dataclass(frozen=True)
 class Graph:
     adj: jax.Array      # (N, N) bool
-    weight: jax.Array   # (N, N) float32
+    weight: jax.Array | None   # (N, N) float32, or None for binary graphs
+                               # (avoids shipping a dense f32 copy of adj)
     nbr: jax.Array      # (N, max_deg) int32, padded with 0
     deg: jax.Array      # (N,) int32
     # static metadata: original node labels by array index (hashable
@@ -53,7 +54,7 @@ class Graph:
         return int(np.asarray(self.deg).sum()) // 2
 
 
-def _build(adj_np: np.ndarray, weight_np: np.ndarray, node_ids) -> Graph:
+def _build(adj_np: np.ndarray, weight_np, node_ids) -> Graph:
     n = adj_np.shape[0]
     deg = adj_np.sum(axis=1).astype(np.int32)
     max_deg = max(int(deg.max()), 1)
@@ -63,7 +64,8 @@ def _build(adj_np: np.ndarray, weight_np: np.ndarray, node_ids) -> Graph:
         nbr[i, : len(nz)] = nz
     return Graph(
         adj=jnp.asarray(adj_np, jnp.bool_),
-        weight=jnp.asarray(weight_np, jnp.float32),
+        weight=(None if weight_np is None
+                else jnp.asarray(weight_np, jnp.float32)),
         nbr=jnp.asarray(nbr),
         deg=jnp.asarray(deg),
         node_ids=tuple(int(v) for v in np.asarray(node_ids)),
@@ -92,7 +94,7 @@ def graph_from_edgelist(edges, num_nodes: int | None = None) -> Graph:
         if ia != ib:
             adj[ia, ib] = True
             adj[ib, ia] = True
-    return _build(adj, adj.astype(np.float32), node_ids)
+    return _build(adj, None, node_ids)
 
 
 def graph_from_adjacency(A, *, normalize: bool = False) -> Graph:
@@ -112,8 +114,30 @@ def graph_from_adjacency(A, *, normalize: bool = False) -> Graph:
     return _build(adj, W.astype(np.float32), np.arange(A.shape[0]))
 
 
-def load_edgelist(path: str, delimiter: str = ",") -> Graph:
+def load_edgelist(path: str, delimiter: str = ",",
+                  use_native: str = "auto") -> Graph:
     """Read a comma-delimited integer edge list file
-    (``network_reconstruction_nx.py:50-54``)."""
+    (``network_reconstruction_nx.py:50-54``).
+
+    ``use_native="auto"`` parses with the C++ loader
+    (``native/graph_loader.cpp``) when it builds on this host — the
+    first-appearance node ordering and table layout are identical to the
+    Python path (tested) — and falls back to Python otherwise.
+    """
+    if use_native in ("auto", "always"):
+        try:
+            from onmf_ontf_ndl_tpu.data.native import load_edgelist_native
+
+            adj, nbr, deg, node_ids = load_edgelist_native(path)
+            return Graph(
+                adj=jnp.asarray(adj),
+                weight=None,
+                nbr=jnp.asarray(nbr),
+                deg=jnp.asarray(deg),
+                node_ids=tuple(int(v) for v in node_ids),
+            )
+        except Exception:
+            if use_native == "always":
+                raise
     edges = np.genfromtxt(path, delimiter=delimiter, dtype=np.int64)
     return graph_from_edgelist(edges)

@@ -178,32 +178,38 @@ def _step_inner(
     ReLU-thresholded sweeps).
     """
     W, A, B, C = st.W, st.A, st.B, st.C
-    gram = W.T @ W
-    proj = W.T @ Xb
     use_pallas = backend == "pallas" and not use_stopping
-    if use_pallas:
-        from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import coder_sweeps
+    # jax.named_scope: phases show up as annotated regions in
+    # jax.profiler traces (SURVEY.md §5 tracing plan)
+    with jax.named_scope("onmf.sparse_code"):
+        gram = W.T @ W
+        proj = W.T @ Xb
+        if use_pallas:
+            from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import coder_sweeps
 
-        H = coder_sweeps(gram, proj, H0, jnp.asarray(alpha, W.dtype),
-                         sub_iter=int(sub_iter))
-    else:
-        from onmf_ontf_ndl_tpu.ops.coder import _code_impl
+            H = coder_sweeps(gram, proj, H0, jnp.asarray(alpha, W.dtype),
+                             sub_iter=int(sub_iter))
+        else:
+            from onmf_ontf_ndl_tpu.ops.coder import _code_impl
 
-        H = _code_impl(
-            gram, proj, H0, jnp.asarray(alpha, W.dtype), stopping_diff,
-            jnp.asarray(0.0, W.dtype), int(sub_iter), use_stopping, False,
-        )
-    w_t = t ** (-jnp.asarray(beta, W.dtype))
-    A1 = (1.0 - w_t) * A + w_t * (H @ H.T)
-    B1 = (1.0 - w_t) * B + w_t * (H @ Xb.T)
-    C1 = (1.0 - w_t) * C + w_t * (Xb @ Xb.T) if st.tracks_xxt else C
+            H = _code_impl(
+                gram, proj, H0, jnp.asarray(alpha, W.dtype), stopping_diff,
+                jnp.asarray(0.0, W.dtype), int(sub_iter), use_stopping, False,
+            )
+    with jax.named_scope("onmf.aggregates"):
+        w_t = t ** (-jnp.asarray(beta, W.dtype))
+        A1 = (1.0 - w_t) * A + w_t * (H @ H.T)
+        B1 = (1.0 - w_t) * B + w_t * (H @ Xb.T)
+        C1 = (1.0 - w_t) * C + w_t * (Xb @ Xb.T) if st.tracks_xxt else C
     A_u, B_u = (A, B) if dict_from == "stale" else (A1, B1)
-    if use_pallas:
-        from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import dict_update_sweep
+    with jax.named_scope("onmf.dict_update"):
+        if use_pallas:
+            from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import (
+                dict_update_sweep)
 
-        W1 = dict_update_sweep(W, A_u, B_u)
-    else:
-        W1 = dict_update_bcd(W, A_u, B_u)
+            W1 = dict_update_sweep(W, A_u, B_u)
+        else:
+            W1 = dict_update_bcd(W, A_u, B_u)
     return dataclasses.replace(st, W=W1, A=A1, B=B1, C=C1, t=t), H
 
 

@@ -123,6 +123,7 @@ def nonneg_code_gram(
     sub_iter: int = 10,
     stopping_diff: float | None = 0.01,
     radius: float | None = None,
+    backend: str = "auto",
 ) -> jax.Array:
     """Nonnegative LASSO code update from precomputed Gram matrices.
 
@@ -142,6 +143,14 @@ def nonneg_code_gram(
     alpha = jnp.asarray(alpha, A.dtype)
     use_stopping = stopping_diff is not None
     use_radius = radius is not None
+    if not use_radius:
+        # fixed-sweep calls route to the fused Pallas kernel on TPU
+        from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
+        if resolve_backend(backend, use_stopping) == "pallas":
+            from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import coder_sweeps
+
+            return coder_sweeps(A, B, H0, alpha, sub_iter=int(sub_iter))
     sd = jnp.asarray(stopping_diff if use_stopping else 0.0, A.dtype)
     rad = jnp.asarray(radius if use_radius else 0.0, A.dtype)
     return _code_impl(A, B, H0, alpha, sd, rad, int(sub_iter), use_stopping, use_radius)
@@ -157,6 +166,7 @@ def nonneg_code(
     sub_iter: int = 10,
     stopping_diff: float | None = 0.01,
     radius: float | None = None,
+    backend: str = "auto",
 ) -> jax.Array:
     """Sparse-code a data batch ``X`` (d, n) against dictionary ``W`` (d, r).
 
@@ -172,5 +182,5 @@ def nonneg_code(
         H0 = jax.random.uniform(key, (W.shape[1], X.shape[1]), dtype=W.dtype)
     return nonneg_code_gram(
         A, B, H0, alpha=alpha, sub_iter=sub_iter,
-        stopping_diff=stopping_diff, radius=radius,
+        stopping_diff=stopping_diff, radius=radius, backend=backend,
     )

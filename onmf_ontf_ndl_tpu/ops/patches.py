@@ -21,7 +21,9 @@ __all__ = [
     "grid_patch_corners",
     "all_patch_corners",
     "extract_patches",
+    "extract_patches_grid",
     "overlap_average",
+    "overlap_average_grid",
 ]
 
 
@@ -119,4 +121,82 @@ def overlap_average(
     cnt = jnp.zeros((out_shape[0], out_shape[1]), patch_values.dtype)
     cnt = cnt.at[rows, cols].add(1.0)
     out = acc / jnp.maximum(cnt, 1.0)[..., None]
+    return out.reshape(out_shape)
+
+
+def _grid_counts(img_shape, k: int, stride: int, inclusive: bool):
+    """Number of grid starts per axis: ``arange(0, H-k, s)`` (exclusive,
+    the reference's strided recon grid) or every position (inclusive)."""
+    def count(m):
+        if inclusive:
+            return m - k + 1
+        return max(0, -(-(m - k) // stride))
+    return count(img_shape[0]), count(img_shape[1])
+
+
+def extract_patches_grid(img: jax.Array, k: int, stride: int = 1,
+                         *, inclusive: bool = False) -> jax.Array:
+    """Gather-free regular-grid patch extraction via
+    ``conv_general_dilated_patches`` (XLA lowers it as a convolution —
+    far cheaper to compile and run than a big gather on TPU).
+
+    Equivalent to ``extract_patches(img, grid_patch_corners(...), k)``
+    (or ``all_patch_corners`` when ``inclusive=True``): returns (d, n)
+    with the same row-major corner order and (row, col[, channel])
+    flattening.
+    """
+    from jax import lax
+
+    squeeze = img.ndim == 2
+    x = img[None, ..., None] if squeeze else img[None]
+    C = x.shape[-1]
+    ni, nj = _grid_counts(img.shape, k, stride, inclusive)
+    patches = lax.conv_general_dilated_patches(
+        x, (k, k), (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (1, NI, NJ, C*k*k) with feature order (C, kh, kw)
+    patches = patches[0, :ni, :nj]
+    # reorder features (C, kh, kw) -> (kh, kw, C) to match the
+    # reshape(-1) convention of extract_patches
+    patches = patches.reshape(ni, nj, C, k, k)
+    patches = jnp.moveaxis(patches, 2, 4)
+    return patches.reshape(ni * nj, k * k * C).T
+
+
+def overlap_average_grid(patch_values: jax.Array, k: int, stride: int,
+                         out_shape: tuple[int, ...],
+                         *, inclusive: bool = False) -> jax.Array:
+    """Scatter-free overlap average for a regular patch grid.
+
+    For each of the k x k in-patch offsets, the patch values land on a
+    disjoint strided lattice of pixels, which is expressible as
+    ``lax.pad`` with interior (dilation) padding — XLA handles the k^2
+    pad+add sequence orders of magnitude faster than one giant scatter.
+    The overlap counts are shape-deterministic and precomputed on the
+    host. Result is identical to
+    ``overlap_average(vals, grid/all_patch_corners(...), ...)``.
+    """
+    from jax import lax
+    import numpy as np
+
+    H, W = out_shape[0], out_shape[1]
+    C = out_shape[2] if len(out_shape) == 3 else 1
+    ni, nj = _grid_counts(out_shape, k, stride, inclusive)
+    n = ni * nj
+    vals = patch_values.T.reshape(ni, nj, k, k, C)
+
+    acc = jnp.zeros((H, W, C), patch_values.dtype)
+    cnt = np.zeros((H, W), np.float64)
+    for di in range(k):
+        for dj in range(k):
+            hi_i = H - (di + (ni - 1) * stride + 1)
+            hi_j = W - (dj + (nj - 1) * stride + 1)
+            pad_cfg = [(di, hi_i, stride - 1), (dj, hi_j, stride - 1),
+                       (0, 0, 0)]
+            acc = acc + lax.pad(vals[:, :, di, dj, :],
+                                jnp.asarray(0.0, patch_values.dtype), pad_cfg)
+            cnt[di:di + (ni - 1) * stride + 1:stride,
+                dj:dj + (nj - 1) * stride + 1:stride] += 1.0
+    cnt = jnp.asarray(np.maximum(cnt, 1.0), patch_values.dtype)
+    out = acc / cnt[..., None]
     return out.reshape(out_shape)

@@ -44,6 +44,7 @@ __all__ = [
     "delta_e",
     "metropolis_chain",
     "checkerboard_sweeps",
+    "ising_diagnostics",
 ]
 
 
@@ -165,3 +166,56 @@ def checkerboard_sweeps(
     keys = jax.random.split(key, nsweeps)
     lattice, _ = lax.scan(sweep, lattice, keys)
     return lattice
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps",))
+def ising_diagnostics(
+    key: jax.Array,
+    lattice: jax.Array,
+    nsteps: int,
+    J: float = 1.0,
+    H: float = 0.0,
+    T: float = 0.5,
+    site: tuple[int, int] = (1, 1),
+    corr_r: int = 1,
+):
+    """Single-site observables of the Metropolis chain: the tracked spin
+    value, the distance-``corr_r`` 4-neighbor correlation ``Si*Sn/4``, and
+    the per-step flip indicator of the tracked site — the quantities the
+    reference's full simulator collects with ``count_spins`` /
+    ``correlation`` (``/root/reference/ising_simulator.py:42-105``).
+
+    Returns (lattice, Sis, SiSjs, flips) with per-step traces; flip
+    *intervals* (the reference's ``counted_intervals``) are
+    ``np.diff(np.flatnonzero(flips))`` on the host.
+    """
+    n = lattice.shape[0]
+    lattice = lattice.astype(jnp.int8)
+    Jf, Hf, Tf = jnp.float32(J), jnp.float32(H), jnp.float32(T)
+    ic, jc = site
+
+    def step(lat, k):
+        ki, kj, ku = jax.random.split(k, 3)
+        i = jax.random.randint(ki, (), 0, n)
+        j = jax.random.randint(kj, (), 0, n)
+        s0 = lat[i, j].astype(jnp.float32)
+        sn = (
+            lat[(i - 1) % n, j] + lat[(i + 1) % n, j]
+            + lat[i, (j - 1) % n] + lat[i, (j + 1) % n]
+        ).astype(jnp.float32)
+        dE = delta_e(s0, sn, Jf, Hf)
+        u = jax.random.uniform(ku, ())
+        accept = jnp.logical_or(dE < 0, u < jnp.exp(-dE / Tf))
+        prev = lat[ic, jc]
+        lat = lat.at[i, j].multiply(jnp.where(accept, -1, 1).astype(jnp.int8))
+        si = lat[ic, jc].astype(jnp.float32)
+        snc = (
+            lat[(ic - corr_r) % n, jc] + lat[(ic + corr_r) % n, jc]
+            + lat[ic, (jc - corr_r) % n] + lat[ic, (jc + corr_r) % n]
+        ).astype(jnp.float32)
+        flipped = lat[ic, jc] != prev
+        return lat, (si, si * snc / 4.0, flipped)
+
+    keys = jax.random.split(key, nsteps)
+    lattice, (sis, sisjs, flips) = lax.scan(step, lattice, keys)
+    return lattice, sis, sisjs, flips

@@ -152,7 +152,12 @@ def patch_from_embedding(g: Graph, emb: jax.Array, *,
                          weighted: bool = False) -> jax.Array:
     """k x k induced adjacency (or weight) patch of an embedding
     (``chd_gen_mx``, ``network_reconstruction_nx.py:301-305``)."""
-    M = g.weight if weighted else g.adj.astype(jnp.float32)
+    if weighted:
+        if g.weight is None:
+            raise ValueError("weighted patches need a weighted Graph")
+        M = g.weight
+    else:
+        M = g.adj
     return M[emb[:, None], emb[None, :]].astype(jnp.float32)
 
 

@@ -1,0 +1,47 @@
+"""Checkpoint / resume for the optimizer state.
+
+The reference persists ad-hoc ``np.save`` arrays and threads warm-start
+kwargs in memory (``/root/reference/image_reconstruction.py:318-319``,
+``network_reconstruction_nx.py:386-389,581-584``; SURVEY.md §5). Here the
+FULL :class:`OnmfState` pytree — dictionary, all aggregates, the step
+counter, and the PRNG key — round-trips through one ``.npz`` file, so a
+resumed run continues the ``t^-beta`` schedule and the random stream
+exactly where it stopped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onmf_ontf_ndl_tpu.models.state import OnmfState
+
+__all__ = ["save_state", "load_state"]
+
+
+def save_state(path: str, state: OnmfState) -> None:
+    """Serialize an OnmfState to a ``.npz`` file."""
+    np.savez(
+        path,
+        W=np.asarray(state.W),
+        A=np.asarray(state.A),
+        B=np.asarray(state.B),
+        C=np.asarray(state.C),
+        t=np.asarray(state.t),
+        key_data=np.asarray(jax.random.key_data(state.key)),
+        key_impl=np.bytes_(
+            str(jax.random.key_impl(state.key)).encode()),
+    )
+
+
+def load_state(path: str, dtype=None) -> OnmfState:
+    """Restore an OnmfState saved by :func:`save_state`."""
+    with np.load(path) as z:
+        W = z["W"]
+        cast = (lambda a: jnp.asarray(a, dtype)) if dtype else jnp.asarray
+        key = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
+        return OnmfState(
+            W=cast(W), A=cast(z["A"]), B=cast(z["B"]), C=cast(z["C"]),
+            t=cast(z["t"]), key=key,
+        )

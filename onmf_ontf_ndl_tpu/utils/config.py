@@ -1,0 +1,170 @@
+"""Frozen dataclass configs for every workload.
+
+The reference's "config system" is constructor kwargs edited inside
+``main()`` blocks (``/root/reference/image_reconstruction.py:480-497``,
+``network_reconstruction_nx.py:536-574``, ``ising_reconstruction.py:223-232``,
+``image_reconstruction_tensor.py:330-349``; SURVEY.md §5). These
+dataclasses reproduce that knob surface 1:1, with ``build()`` returning
+the corresponding app. The CLI (``onmf_ontf_ndl_tpu.cli``) maps its flags
+onto these fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["ImageConfig", "TensorConfig", "IsingConfig", "NetworkConfig",
+           "VideoConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageConfig:
+    path: str
+    n_components: int = 25
+    iterations: int = 200
+    sub_iterations: int = 10
+    num_patches: int = 10
+    batch_size: int = 10
+    downscale_factor: int = 10
+    patch_size: int = 10
+    is_matrix: bool = False
+    is_color: bool = True
+    alpha: float | None = None
+    beta: float | None = None
+    recons_resolution: int = 1
+    seed: int = 0
+
+    def build(self):
+        from onmf_ontf_ndl_tpu.apps.image import ImageReconstructor
+
+        return ImageReconstructor(
+            path=self.path, n_components=self.n_components,
+            iterations=self.iterations, sub_iterations=self.sub_iterations,
+            num_patches=self.num_patches, batch_size=self.batch_size,
+            downscale_factor=self.downscale_factor,
+            patch_size=self.patch_size, is_matrix=self.is_matrix,
+            is_color=self.is_color, alpha=self.alpha, beta=self.beta,
+            seed=self.seed,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TensorConfig:
+    path: str
+    n_components: int = 100
+    iterations: int = 20
+    sub_iterations: int = 2
+    batch_size: int = 100
+    block_iterations: int = 4
+    num_patches: int = 100
+    sub_num_patches: int = 5000
+    downscale_factor: int = 2
+    patch_size: int = 20
+    mode: int = 2
+    learn_joint_dict: bool = True
+    is_color: bool = True
+    alpha: float | None = None
+    seed: int = 0
+
+    def build(self):
+        from onmf_ontf_ndl_tpu.apps.image_tensor import ImageReconstructorTensor
+
+        return ImageReconstructorTensor(
+            path=self.path, n_components=self.n_components,
+            iterations=self.iterations, sub_iterations=self.sub_iterations,
+            batch_size=self.batch_size,
+            block_iterations=self.block_iterations,
+            num_patches=self.num_patches,
+            sub_num_patches=self.sub_num_patches,
+            downscale_factor=self.downscale_factor,
+            patch_size=self.patch_size,
+            learn_joint_dict=self.learn_joint_dict,
+            is_color=self.is_color, alpha=self.alpha, seed=self.seed,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class IsingConfig:
+    n_components: int = 100
+    lattice_size: int = 200
+    ising_iterations: int = 1
+    temperature: float = 5.0
+    ising_subsampling_steps: int = 500000
+    sub_iterations: int = 20
+    num_patches: int = 1000
+    batch_size: int = 50
+    patch_size: int = 20
+    beta: float = 1.0
+    sampler: str = "checkerboard"
+    seed: int = 0
+
+    def build(self):
+        from onmf_ontf_ndl_tpu.apps.ising import IsingReconstructor
+
+        return IsingReconstructor(
+            n_components=self.n_components, lattice_size=self.lattice_size,
+            ising_iterations=self.ising_iterations,
+            temperature=self.temperature,
+            ising_subsampling_steps=self.ising_subsampling_steps,
+            sub_iterations=self.sub_iterations,
+            num_patches=self.num_patches, batch_size=self.batch_size,
+            patch_size=self.patch_size, beta=self.beta,
+            sampler=self.sampler, seed=self.seed,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class NetworkConfig:
+    source: str
+    n_components: int = 25
+    MCMC_iterations: int = 200
+    sub_iterations: int = 100
+    sample_size: int = 1000
+    batch_size: int = 20
+    k1: int = 0
+    k2: int = 20
+    alpha: float | None = 1.0
+    is_WAN: bool = False
+    is_glauber_dict: bool = True
+    is_glauber_recons: bool = False
+    recons_iter: int = 10000
+    seed: int = 0
+
+    def build(self):
+        from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
+
+        return NetworkReconstructor(
+            source=self.source, n_components=self.n_components,
+            MCMC_iterations=self.MCMC_iterations,
+            sub_iterations=self.sub_iterations,
+            sample_size=self.sample_size, batch_size=self.batch_size,
+            k1=self.k1, k2=self.k2, alpha=self.alpha, is_WAN=self.is_WAN,
+            is_glauber_dict=self.is_glauber_dict,
+            is_glauber_recons=self.is_glauber_recons, seed=self.seed,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoConfig:
+    path: str
+    n_components: int = 100
+    sub_iterations: int = 10
+    num_patches: int = 200
+    batch_size: int = 20
+    patch_size: int = 7
+    epochs: int = 1
+    is_color: bool = True
+    max_frames: int | None = None
+    alpha: float | None = None
+    seed: int = 0
+
+    def build(self):
+        from onmf_ontf_ndl_tpu.apps.video import VideoDictionaryLearner
+
+        return VideoDictionaryLearner(
+            path=self.path, n_components=self.n_components,
+            sub_iterations=self.sub_iterations,
+            num_patches=self.num_patches, batch_size=self.batch_size,
+            patch_size=self.patch_size, is_color=self.is_color,
+            alpha=self.alpha, max_frames=self.max_frames, seed=self.seed,
+        )

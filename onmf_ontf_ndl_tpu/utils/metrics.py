@@ -23,3 +23,13 @@ def surrogate_error(W: jax.Array, A: jax.Array, B: jax.Array, C: jax.Array):
 def relative_recon_error(X: jax.Array, W: jax.Array, H: jax.Array):
     """``|X - W H|_F / |X|_F``."""
     return jnp.linalg.norm(X - W @ H) / jnp.linalg.norm(X)
+
+
+def code_covariance(code: jax.Array):
+    """Trace-normalized covariance of the code matrix rows — the learned
+    atoms' co-activation structure (``show_cov``,
+    ``/root/reference/network_reconstruction_nx.py:429-442``)."""
+    c = code - code.mean(axis=1, keepdims=True)
+    n = code.shape[1] - 1
+    cov = (c @ c.T) / jnp.maximum(n, 1)
+    return cov / jnp.trace(cov)

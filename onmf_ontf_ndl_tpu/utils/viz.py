@@ -1,0 +1,135 @@
+"""Host-side visualization: dictionary grids and reconstruction panels.
+
+Mirrors the reference's figure builders: ``display_dictionary``
+(``/root/reference/image_reconstruction.py:237-260``), network dictionary
+grids (``network_reconstruction_nx.py:393-419``), and the multi-panel
+``display_recons_dict_list`` comparison
+(``image_reconstruction.py:409-477``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["display_dictionary", "display_network_dictionary",
+           "display_recons_panel"]
+
+
+def _grid_dims(r: int, grid_shape=None):
+    if grid_shape is not None:
+        return grid_shape
+    rows = int(round(np.sqrt(r)))
+    cols = rows if rows * rows == r else rows + 1
+    return rows, cols
+
+
+def display_dictionary(W, patch_size: int, *, is_color: bool = True,
+                       title: str | None = None, save_path: str | None = None,
+                       grid_shape=None, show: bool = False):
+    """Grid of dictionary atoms as (k, k[,3]) patches."""
+    import matplotlib
+    if save_path and not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    W = np.asarray(W)
+    k = patch_size
+    rows, cols = _grid_dims(W.shape[1], grid_shape)
+    fig, axs = plt.subplots(nrows=rows, ncols=cols, figsize=(6, 6),
+                            subplot_kw={"xticks": [], "yticks": []})
+    for ax, i in zip(np.atleast_1d(axs).flat, range(rows * cols)):
+        if i >= W.shape[1]:
+            ax.axis("off")
+            continue
+        if is_color:
+            patch = W[:, i].reshape(k, k, 3)
+            ax.imshow(patch / max(patch.max(), 1e-12))
+        else:
+            ax.imshow(W[:, i].reshape(k, k), cmap="gray",
+                      interpolation="nearest")
+    plt.suptitle(title or f"Dictionary learned from {k}x{k} patches",
+                 fontsize=14)
+    fig.subplots_adjust(0.08, 0.02, 0.92, 0.85, 0.08, 0.23)
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+    return save_path
+
+
+def display_network_dictionary(W, k: int, *, title: str | None = None,
+                               save_path: str | None = None,
+                               show: bool = False):
+    """Grid of k x k motif-adjacency atoms, black=1 (gray_r) per the
+    reference (``network_reconstruction_nx.py:410-415``)."""
+    import matplotlib
+    if save_path and not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    W = np.asarray(W)
+    rows, cols = _grid_dims(W.shape[1])
+    fig, axs = plt.subplots(nrows=rows, ncols=cols, figsize=(5, 5),
+                            subplot_kw={"xticks": [], "yticks": []})
+    for ax, j in zip(np.atleast_1d(axs).flat, range(W.shape[1])):
+        ax.imshow(W[:, j].reshape(k, k), cmap="gray_r",
+                  interpolation="nearest")
+    if title:
+        plt.suptitle(title)
+    fig.subplots_adjust(left=0.1, bottom=0.1, right=0.9, top=0.9,
+                        wspace=0.2, hspace=0)
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+    return save_path
+
+
+def display_recons_panel(W_list, A_recons_list, originals, patch_size: int,
+                         *, save_path: str | None = None,
+                         title: str | None = None, fig_size=(11, 6),
+                         show: bool = False):
+    """Side-by-side panel: per training stage, the reconstruction (top)
+    and the dictionary grid (bottom), with the originals in the first
+    column (the reference's ``display_recons_dict_list`` layout,
+    ``image_reconstruction.py:409-477``)."""
+    import matplotlib
+    if save_path and not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import matplotlib.gridspec as gridspec
+
+    k = patch_size
+    n_stage = len(W_list)
+    fig = plt.figure(figsize=fig_size, constrained_layout=False)
+    outer = gridspec.GridSpec(nrows=2, ncols=n_stage + 1, wspace=0.2,
+                              hspace=0.2)
+    # originals in column 0
+    for row, img in enumerate(originals[:2]):
+        ax = fig.add_subplot(outer[row, 0].subgridspec(1, 1)[0, 0])
+        ax.imshow(np.asarray(img))
+        ax.set_xticks([]); ax.set_yticks([])
+    for j, (W, rec) in enumerate(zip(W_list, A_recons_list)):
+        ax = fig.add_subplot(outer[0, j + 1].subgridspec(1, 1)[0, 0])
+        ax.imshow(np.asarray(rec))
+        ax.set_xticks([]); ax.set_yticks([])
+        W = np.asarray(W)
+        rows, cols = _grid_dims(W.shape[1])
+        inner = outer[1, j + 1].subgridspec(rows, cols, wspace=0.2,
+                                            hspace=0.02)
+        for i in range(min(rows * cols, W.shape[1])):
+            ax = fig.add_subplot(inner[i // cols, i % cols])
+            patch = W[:, i].reshape(k, k, 3)
+            ax.imshow(patch / max(patch.max(), 1e-12),
+                      interpolation="nearest")
+            ax.set_xticks([]); ax.set_yticks([])
+    if title:
+        plt.suptitle(title, fontsize=20)
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+    return save_path

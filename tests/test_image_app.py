@@ -62,3 +62,18 @@ def test_gray_pipeline_full_grid():
     # full grid paints every pixel
     assert (out > 0).all()
     assert np.linalg.norm(out - img) / np.linalg.norm(img) < 0.25
+
+
+def test_stack_of_matrices_pipeline():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    stack = np.sign(rng.standard_normal((4, 24, 24)))  # +-1 matrices
+    rec = ImageReconstructor(
+        data=(stack + 1) / 2, is_stack=True, is_color=False,
+        n_components=6, iterations=8, sub_iterations=4, num_patches=20,
+        batch_size=8, patch_size=4, dtype=jnp.float64,
+    )
+    W = rec.train_dict()
+    assert W.shape == (16, 6)
+    assert (np.asarray(W) >= 0).all()

@@ -1,0 +1,66 @@
+"""Native C++ graph loader vs the pure-Python ingest path."""
+
+import time
+
+import numpy as np
+import pytest
+
+from onmf_ontf_ndl_tpu.data.graphs import graph_from_edgelist, load_edgelist
+from onmf_ontf_ndl_tpu.data.native import native_available, load_edgelist_native
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="no C++ toolchain")
+
+
+def write_edges(tmp_path, edges):
+    p = tmp_path / "edges.txt"
+    p.write_text("\n".join(f"{a},{b}" for a, b in edges) + "\n")
+    return str(p)
+
+
+def test_native_matches_python(tmp_path):
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 200, (2000, 2))
+             if a != b]
+    path = write_edges(tmp_path, edges)
+
+    g_native = load_edgelist(path, use_native="always")
+    g_py = graph_from_edgelist(np.asarray(edges))
+
+    assert g_native.node_ids == g_py.node_ids
+    np.testing.assert_array_equal(np.asarray(g_native.adj),
+                                  np.asarray(g_py.adj))
+    np.testing.assert_array_equal(np.asarray(g_native.deg),
+                                  np.asarray(g_py.deg))
+    # neighbor tables may order neighbors differently; compare as sets
+    nb_n = np.asarray(g_native.nbr)
+    nb_p = np.asarray(g_py.nbr)
+    deg = np.asarray(g_py.deg)
+    for i in range(g_py.num_nodes):
+        assert set(nb_n[i, :deg[i]]) == set(nb_p[i, :deg[i]])
+
+
+def test_native_dedupes_and_drops_self_loops(tmp_path):
+    path = write_edges(tmp_path, [(1, 2), (2, 1), (1, 2), (3, 3), (2, 4)])
+    g = load_edgelist(path, use_native="always")
+    assert g.num_edges == 2
+    assert np.asarray(g.deg).tolist() == [1, 2, 0, 1]
+    assert g.node_ids == (1, 2, 3, 4)
+
+
+def test_native_missing_file():
+    with pytest.raises(RuntimeError, match="cannot open"):
+        load_edgelist_native("/nonexistent/file.txt")
+
+
+def test_native_on_reference_facebook_graph():
+    # the big reference graph: the native PARSE must be fast and agree on
+    # summary stats (device transfer is excluded — over the axon tunnel
+    # it is bandwidth-bound and orthogonal to the loader)
+    path = "/root/reference/Data/Networks/facebook_combined.txt"
+    t0 = time.perf_counter()
+    adj, nbr, deg, node_ids = load_edgelist_native(path)
+    dt = time.perf_counter() - t0
+    assert adj.shape == (4039, 4039)
+    assert int(deg.sum()) // 2 == 88234
+    assert dt < 5.0

@@ -94,3 +94,38 @@ def test_downscale_local_mean_matches_blockmean_with_zero_pad():
         np.testing.assert_allclose(got, sk_down(img, (3, 3)), rtol=1e-10)
     except ImportError:
         pass
+
+
+def test_extract_patches_grid_matches_corner_form():
+    from onmf_ontf_ndl_tpu.ops.patches import extract_patches_grid
+
+    for color in (True, False):
+        img = RNG.random((23, 31, 3) if color else (23, 31))
+        for stride, inclusive in [(1, True), (1, False), (3, False), (5, False)]:
+            if inclusive:
+                corners = all_patch_corners(img.shape[:2], 4)
+            else:
+                corners = grid_patch_corners(img.shape[:2], 4, stride)
+            want = np.asarray(extract_patches(jnp.asarray(img), corners, 4))
+            got = np.asarray(extract_patches_grid(jnp.asarray(img), 4,
+                                                  stride, inclusive=inclusive))
+            np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_overlap_average_grid_matches_corner_form():
+    from onmf_ontf_ndl_tpu.ops.patches import overlap_average_grid
+
+    for shape in [(18, 22, 3), (18, 22)]:
+        k = 5
+        for stride, inclusive in [(1, True), (2, False), (4, False)]:
+            if inclusive:
+                corners = all_patch_corners(shape[:2], k)
+            else:
+                corners = grid_patch_corners(shape[:2], k, stride)
+            n = int(np.asarray(corners[0]).shape[0])
+            d = k * k * (shape[2] if len(shape) == 3 else 1)
+            vals = jnp.asarray(RNG.random((d, n)))
+            want = np.asarray(overlap_average(vals, corners, k, shape))
+            got = np.asarray(overlap_average_grid(vals, k, stride, shape,
+                                                  inclusive=inclusive))
+            np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)

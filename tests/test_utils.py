@@ -1,0 +1,103 @@
+"""Tests for checkpointing, configs, viz, and the CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onmf_ontf_ndl_tpu.models.state import init_state
+from onmf_ontf_ndl_tpu.models.onmf import train_dict
+from onmf_ontf_ndl_tpu.utils.checkpoint import save_state, load_state
+from onmf_ontf_ndl_tpu.utils.metrics import surrogate_error
+
+RNG = np.random.default_rng(9)
+
+
+def test_checkpoint_roundtrip_exact_resume(tmp_path):
+    d, r, n = 20, 5, 60
+    X = jnp.asarray(RNG.random((d, n)))
+    st = init_state(jax.random.key(0), d, r, track_xxt=True,
+                    dtype=jnp.float64)
+
+    # uninterrupted: 4 + 4 iterations
+    st_a, _ = train_dict(st, X, iterations=4, batch_size=8)
+    st_ab, _ = train_dict(st_a, X, iterations=4, batch_size=8)
+
+    # interrupted: save after first half, load, continue
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, st_a)
+    st_loaded = load_state(path)
+    assert float(st_loaded.t) == float(st_a.t)
+    st_resumed, _ = train_dict(st_loaded, X, iterations=4, batch_size=8)
+
+    np.testing.assert_array_equal(np.asarray(st_resumed.W),
+                                  np.asarray(st_ab.W))
+    np.testing.assert_array_equal(np.asarray(st_resumed.A),
+                                  np.asarray(st_ab.A))
+    np.testing.assert_array_equal(np.asarray(st_resumed.C),
+                                  np.asarray(st_ab.C))
+    assert float(st_resumed.t) == float(st_ab.t)
+
+
+def test_surrogate_error_formula():
+    d, r = 12, 4
+    W = RNG.random((d, r))
+    A = RNG.random((r, r))
+    B = RNG.random((r, d))
+    C = RNG.random((d, d))
+    want = np.trace(W @ A @ W.T) - 2 * np.trace(W @ B) + np.trace(C)
+    got = float(surrogate_error(jnp.asarray(W), jnp.asarray(A),
+                                jnp.asarray(B), jnp.asarray(C)))
+    assert np.isclose(got, want, rtol=1e-10)
+
+
+def test_viz_writes_files(tmp_path):
+    from onmf_ontf_ndl_tpu.utils import viz
+
+    W = RNG.random((75, 9))
+    p1 = viz.display_dictionary(W, 5, is_color=True,
+                                save_path=str(tmp_path / "d.png"))
+    assert os.path.getsize(p1) > 0
+    Wg = RNG.random((9, 4))
+    p2 = viz.display_network_dictionary(Wg, 3,
+                                        save_path=str(tmp_path / "n.png"))
+    assert os.path.getsize(p2) > 0
+    imgs = [RNG.random((10, 10, 3)) for _ in range(2)]
+    p3 = viz.display_recons_panel([W, W], imgs, imgs, 5,
+                                  save_path=str(tmp_path / "p.png"))
+    assert os.path.getsize(p3) > 0
+
+
+def test_configs_build():
+    from onmf_ontf_ndl_tpu.utils.config import IsingConfig, NetworkConfig
+
+    app = IsingConfig(n_components=4, lattice_size=8, ising_iterations=1,
+                      ising_subsampling_steps=10, sub_iterations=2,
+                      num_patches=5, batch_size=3, patch_size=3).build()
+    assert app.lattice.shape == (8, 8)
+
+
+def test_cli_ising_end_to_end(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = ""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from onmf_ontf_ndl_tpu.cli import main;"
+        f"main(['ising','--out-dir',{str(tmp_path)!r},"
+        "'--n-components','4','--lattice-size','8',"
+        "'--ising-iterations','2','--ising-subsampling-steps','64',"
+        "'--sub-iterations','3','--num-patches','10',"
+        "'--batch-size','5','--patch-size','3'])"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    meta = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "final_surrogate_error" in meta
+    assert os.path.exists(tmp_path / "state.npz")
+    assert os.path.exists(tmp_path / "dict.png")
+    assert os.path.exists(tmp_path / "errors.npy")
