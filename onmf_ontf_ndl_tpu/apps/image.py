@@ -46,7 +46,7 @@ __all__ = ["ImageReconstructor", "train_image_dict", "reconstruct"]
     jax.jit,
     static_argnames=(
         "outer_iterations", "num_patches", "inner_iterations", "batch_size",
-        "patch_size", "sub_iter", "use_stopping", "dict_from",
+        "patch_size", "sub_iter", "use_stopping", "dict_from", "backend",
     ),
     donate_argnums=(0,),
 )
@@ -65,6 +65,7 @@ def train_image_dict(
     use_stopping: bool = True,
     stopping_diff: float = 0.01,
     dict_from: str = "stale",
+    backend: str = "xla",
 ) -> OnmfState:
     """Fused streaming trainer: outer scan samples patches, inner scan runs
     online-NMF steps; mirrors the two-level loop of
@@ -84,7 +85,7 @@ def train_image_dict(
         st, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, True, sub_iter,
-            use_stopping, False, dict_from,
+            use_stopping, False, dict_from, backend=backend,
         )
         return st, None
 
@@ -157,6 +158,7 @@ class ImageReconstructor:
         is_color: bool = True,
         alpha: float | None = None,
         beta: float | None = None,
+        fast: bool = False,
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -189,6 +191,7 @@ class ImageReconstructor:
         self.is_color = is_color
         self.alpha = 0.0 if alpha is None else float(alpha)
         self.beta = 1.0 if beta is None else float(beta)
+        self.fast = fast
         self.dtype = dtype
 
         d = (3 if is_color else 1) * patch_size**2
@@ -215,6 +218,8 @@ class ImageReconstructor:
         if self.is_stack:
             from onmf_ontf_ndl_tpu.apps.video import train_video_dict
 
+            from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
             self.state = train_video_dict(
                 self.state, self.data,
                 num_patches=self.num_patches,
@@ -223,8 +228,12 @@ class ImageReconstructor:
                 patch_size=self.patch_size,
                 epochs=max(1, self.iterations // self.data.shape[0]),
                 alpha=self.alpha, beta=self.beta,
+                use_stopping=not self.fast,
+                backend=resolve_backend("auto", not self.fast),
             )
             return self.state.W
+        from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
         self.state = train_image_dict(
             self.state, self.data,
             outer_iterations=self.iterations,
@@ -233,6 +242,8 @@ class ImageReconstructor:
             batch_size=self.batch_size,
             patch_size=self.patch_size,
             alpha=self.alpha, beta=self.beta,
+            use_stopping=not self.fast,
+            backend=resolve_backend("auto", not self.fast),
         )
         return self.state.W
 

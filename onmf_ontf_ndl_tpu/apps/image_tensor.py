@@ -53,7 +53,7 @@ def unfolded_dim(k: int, num_patches: int, mode: int, joint: bool) -> int:
     jax.jit,
     static_argnames=(
         "outer_iterations", "num_patches", "inner_iterations", "batch_size",
-        "patch_size", "mode", "joint", "sub_iter",
+        "patch_size", "mode", "joint", "sub_iter", "use_stopping", "backend",
     ),
     donate_argnums=(0,),
 )
@@ -62,6 +62,7 @@ def _train_tensor(
     outer_iterations: int, num_patches: int, inner_iterations: int,
     batch_size: int, patch_size: int, mode: int, joint: bool,
     alpha: float, beta: float, sub_iter: int, stopping_diff: float = 0.01,
+    use_stopping: bool = True, backend: str = "xla",
 ):
     k = patch_size
     alpha_t = jnp.asarray(alpha, img.dtype)
@@ -81,7 +82,7 @@ def _train_tensor(
         st, _ = _train_scan(
             st, Xu, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, True, sub_iter,
-            True, False, "stale",
+            use_stopping, False, "stale", backend=backend,
         )
         return st, None
 
@@ -111,6 +112,7 @@ class ImageReconstructorTensor:
         is_color: bool = True,
         alpha: float | None = None,
         beta: float | None = None,
+        fast: bool = False,
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -132,6 +134,7 @@ class ImageReconstructorTensor:
         # sklearn SparseCoder default transform_alpha=2 (src/ontf.py:79-82)
         self.alpha = 2.0 if alpha is None else float(alpha)
         self.beta = 1.0 if beta is None else float(beta)
+        self.fast = fast
         self.seed = seed
         self.dtype = dtype
         self.state = None
@@ -155,6 +158,10 @@ class ImageReconstructorTensor:
             mode=mode, joint=joint,
             alpha=self.alpha, beta=self.beta,
             sub_iter=self.block_iterations,
+            use_stopping=not self.fast,
+            backend=__import__("onmf_ontf_ndl_tpu.ops.pallas",
+                               fromlist=["resolve_backend"]
+                               ).resolve_backend("auto", not self.fast),
         )
         self.W = self.state.W
         return self.W

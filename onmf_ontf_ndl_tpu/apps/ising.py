@@ -51,7 +51,7 @@ __all__ = ["IsingReconstructor", "ising_trajectory_learning"]
     static_argnames=(
         "ising_iterations", "nsteps", "num_patches", "inner_iterations",
         "batch_size", "patch_size", "sampler", "update_lattice",
-        "sub_iter", "keep_trajectory",
+        "sub_iter", "keep_trajectory", "use_stopping", "backend",
     ),
 )
 def ising_trajectory_learning(
@@ -75,6 +75,8 @@ def ising_trajectory_learning(
     sampler: str = "checkerboard",
     update_lattice: bool = True,
     keep_trajectory: bool = False,
+    use_stopping: bool = True,
+    backend: str = "xla",
 ):
     """Fused trajectory learner. Returns
     ``(state, dict_stack, errors, lattice, trajectory)`` where
@@ -94,7 +96,7 @@ def ising_trajectory_learning(
         st, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, True, sub_iter,
-            True, False, "stale",
+            use_stopping, False, "stale", backend=backend,
         )
         return st
 
@@ -152,6 +154,7 @@ class IsingReconstructor:
         alpha: float = 0.0,
         sampler: str = "checkerboard",
         update_lattice: bool = True,
+        fast: bool = False,
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -170,6 +173,7 @@ class IsingReconstructor:
         self.alpha = alpha
         self.sampler = sampler
         self.update_lattice = update_lattice
+        self.fast = fast
         self.dtype = dtype
         key = jax.random.key(seed)
         self.key, lkey = jax.random.split(key)
@@ -203,6 +207,10 @@ class IsingReconstructor:
             alpha=self.alpha, beta=self.beta,
             sampler=self.sampler, update_lattice=self.update_lattice,
             keep_trajectory=keep_trajectory,
+            use_stopping=not self.fast,
+            backend=__import__("onmf_ontf_ndl_tpu.ops.pallas",
+                               fromlist=["resolve_backend"]
+                               ).resolve_backend("auto", not self.fast),
         )
         self.W = self.dict_stack[-1]
         return traj, self.dict_stack, self.errors

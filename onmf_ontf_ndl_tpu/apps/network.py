@@ -53,7 +53,7 @@ __all__ = ["NetworkReconstructor", "ndl_train", "reconstruct_network"]
     static_argnames=(
         "B_bytes", "parents", "mcmc_iterations", "sample_size",
         "inner_iterations", "batch_size", "use_glauber", "weighted",
-        "sub_iter",
+        "sub_iter", "use_stopping", "backend",
     ),
 )
 def ndl_train(
@@ -73,6 +73,8 @@ def ndl_train(
     stopping_diff: float = 0.01,
     use_glauber: bool = True,
     weighted: bool = False,
+    use_stopping: bool = True,
+    backend: str = "xla",
 ):
     """Fused NDL trainer. Returns ``(state, code, emb)`` where code is the
     accumulated (r, sample_size) code matrix."""
@@ -91,7 +93,7 @@ def ndl_train(
         st, code = _train_scan(
             st, X.astype(dtype), code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, True, sub_iter,
-            True, True, "stale",
+            use_stopping, True, "stale", backend=backend,
         )
         return (st, emb, code), None
 
@@ -103,7 +105,7 @@ def ndl_train(
 @functools.partial(
     jax.jit,
     static_argnames=("B_bytes", "parents", "recons_iter", "use_glauber",
-                     "weighted", "sub_iter"),
+                     "weighted", "sub_iter", "num_chains"),
 )
 def reconstruct_network(
     W: jax.Array,
@@ -118,18 +120,26 @@ def reconstruct_network(
     sub_iter: int = 30,
     use_glauber: bool = False,
     weighted: bool = False,
+    num_chains: int = 1,
 ):
     """Chain-sample ``recons_iter`` patches, code them all at once, and
     overlap-average onto the node-pair grid. Returns
     ``(recon_weights, overlap_count, emb)`` — dense (N, N) arrays; the
     rounded simple graph is ``(recon_weights.round() > 0) & (count > 0)``.
+
+    ``num_chains > 1`` runs an ensemble of independent chains (each
+    tree-grown from a random pivot) contributing ``recons_iter /
+    num_chains`` patches each — chains are sequential by definition, so
+    the ensemble is the TPU way to cut the wall-clock of a long
+    reconstruction chain (the reference runs one chain for up to 1e5
+    steps, ``network_reconstruction_nx.py:601``).
     """
     k = emb0.shape[0]
     ck, hk = jax.random.split(key)
 
     def step(emb, kk):
         from onmf_ontf_ndl_tpu.samplers.motif import (
-            glauber_update, pivot_update, patch_from_embedding)
+            glauber_update, pivot_update)
         B = np.frombuffer(B_bytes, dtype=np.int8).reshape(k, -1)
         if use_glauber:
             emb = glauber_update(kk, B, parents, g, emb)
@@ -137,8 +147,26 @@ def reconstruct_network(
             emb = pivot_update(kk, B, parents, g, emb)
         return emb, emb
 
-    keys = jax.random.split(ck, recons_iter)
-    emb, embs = lax.scan(step, emb0, keys)          # embs: (P, k)
+    if num_chains <= 1:
+        keys = jax.random.split(ck, recons_iter)
+        emb, embs = lax.scan(step, emb0, keys)      # embs: (P, k)
+    else:
+        from onmf_ontf_ndl_tpu.samplers.motif import tree_sample
+
+        per = -(-recons_iter // num_chains)
+        recons_iter = per * num_chains
+        ck, pk, tk = jax.random.split(ck, 3)
+        pivots = jax.random.randint(pk, (num_chains,), 0, g.num_nodes)
+        emb0s = jax.vmap(lambda kk, x: tree_sample(kk, parents, g, x))(
+            jax.random.split(tk, num_chains), pivots)
+
+        def run_chain(kk, e0):
+            return lax.scan(step, e0, jax.random.split(kk, per))
+
+        embf, embs = jax.vmap(run_chain)(
+            jax.random.split(ck, num_chains), emb0s)  # (C, per, k)
+        embs = embs.reshape(num_chains * per, k)
+        emb = embf[0]
 
     if weighted:
         if g.weight is None:
@@ -184,6 +212,7 @@ class NetworkReconstructor:
         is_glauber_dict: bool = True,
         is_glauber_recons: bool = True,
         weighted_patches: bool = False,
+        fast: bool = False,
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -205,6 +234,9 @@ class NetworkReconstructor:
         self.is_glauber_dict = is_glauber_dict
         self.is_glauber_recons = is_glauber_recons
         self.weighted_patches = weighted_patches
+        # fast=True: fixed coder sweeps (no spectral-norm stopping),
+        # routed to the Pallas kernels on TPU
+        self.fast = fast
         self.dtype = dtype
 
         self.B = path_adj(k1, k2)
@@ -229,6 +261,8 @@ class NetworkReconstructor:
 
     def train_dict(self):
         """Run the fused NDL training; returns the dictionary (k^2, r)."""
+        from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
         self.state, self.code, self.emb = ndl_train(
             self.state, self.G, self.emb, self._B_bytes, self._parents,
             mcmc_iterations=self.MCMC_iterations,
@@ -238,18 +272,22 @@ class NetworkReconstructor:
             alpha=self.alpha,
             use_glauber=self.is_glauber_dict,
             weighted=self.weighted_patches,
+            use_stopping=not self.fast,
+            backend=resolve_backend("auto", not self.fast),
         )
         return self.state.W
 
-    def reconstruct_network(self, recons_iter: int = 100, alpha: float = 0.0):
+    def reconstruct_network(self, recons_iter: int = 100, alpha: float = 0.0,
+                            num_chains: int = 1):
         """Returns the reconstructed simple graph as a dense boolean
-        (N, N) matrix (``reconstruct_network``, ``:444-511``)."""
+        (N, N) matrix (``reconstruct_network``, ``:444-511``).
+        ``num_chains > 1`` splits the work over an ensemble of chains."""
         self.key, rk = jax.random.split(self.key)
         recon, cnt, self.emb = reconstruct_network(
             self.state.W, self.G, self.emb, rk, self._B_bytes, self._parents,
             recons_iter=recons_iter, alpha=alpha,
             use_glauber=self.is_glauber_recons,
-            weighted=self.weighted_patches,
+            weighted=self.weighted_patches, num_chains=num_chains,
         )
         self.recon_weights = recon
         simple = jnp.logical_and(jnp.round(recon) > 0, cnt > 0)

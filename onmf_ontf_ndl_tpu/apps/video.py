@@ -30,7 +30,7 @@ __all__ = ["VideoDictionaryLearner", "train_video_dict"]
     jax.jit,
     static_argnames=(
         "num_patches", "inner_iterations", "batch_size", "patch_size",
-        "epochs", "sub_iter",
+        "epochs", "sub_iter", "use_stopping", "backend",
     ),
     donate_argnums=(0,),
 )
@@ -47,6 +47,8 @@ def train_video_dict(
     beta: float = 1.0,
     sub_iter: int = 10,
     stopping_diff: float = 0.01,
+    use_stopping: bool = True,
+    backend: str = "xla",
 ) -> OnmfState:
     """Stream over frames (in order, ``epochs`` passes), one warm-started
     online-NMF round per frame."""
@@ -66,7 +68,7 @@ def train_video_dict(
         st, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, True, sub_iter,
-            True, False, "stale",
+            use_stopping, False, "stale", backend=backend,
         )
         return st, None
 
@@ -92,6 +94,7 @@ class VideoDictionaryLearner:
         alpha: float | None = None,
         beta: float | None = None,
         max_frames: int | None = None,
+        fast: bool = False,
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -109,6 +112,7 @@ class VideoDictionaryLearner:
         self.patch_size = patch_size
         self.alpha = 0.0 if alpha is None else float(alpha)
         self.beta = 1.0 if beta is None else float(beta)
+        self.fast = fast
         self.dtype = dtype
         d = (3 if self.is_color else 1) * patch_size**2
         self.state = init_state(jax.random.key(seed), d, n_components,
@@ -126,6 +130,10 @@ class VideoDictionaryLearner:
             batch_size=self.batch_size,
             patch_size=self.patch_size,
             epochs=epochs, alpha=self.alpha, beta=self.beta,
+            use_stopping=not self.fast,
+            backend=__import__("onmf_ontf_ndl_tpu.ops.pallas",
+                               fromlist=["resolve_backend"]
+                               ).resolve_backend("auto", not self.fast),
         )
         return self.state.W
 

@@ -52,3 +52,28 @@ def test_ndl_glauber_recons_and_code():
     assert recon.shape == (36, 36)
     acc = rec.compute_recons_accuracy()
     assert 0.0 <= acc <= 1.0
+
+
+def test_ensemble_reconstruction_matches_accuracy():
+    g = graph_from_adjacency(torus_adjacency(10))
+    rec = NetworkReconstructor(
+        source=g, n_components=16, MCMC_iterations=8, sub_iterations=10,
+        sample_size=100, batch_size=20, k1=0, k2=2, alpha=0.1,
+        is_glauber_recons=False, dtype=jnp.float64,
+    )
+    rec.train_dict()
+    rec.reconstruct_network(recons_iter=4000, num_chains=8)
+    acc = rec.compute_recons_accuracy()
+    assert acc > 0.5, acc
+
+
+def test_fast_mode_trains():
+    g = graph_from_adjacency(torus_adjacency(6))
+    rec = NetworkReconstructor(
+        source=g, n_components=9, MCMC_iterations=4, sub_iterations=5,
+        sample_size=50, batch_size=10, k1=0, k2=2, fast=True,
+        dtype=jnp.float64,
+    )
+    W = rec.train_dict()
+    assert (np.asarray(W) >= 0).all()
+    assert float(rec.state.t) == 4 * 5
