@@ -82,7 +82,7 @@ def train_image_dict(
         st = dataclasses.replace(st, key=key)
         corners = random_patch_corners(pkey, img.shape[:2], k, num_patches)
         X = extract_patches(img, corners, k)
-        st, _ = _train_scan(
+        st, _, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, True, sub_iter,
             use_stopping, False, dict_from, backend=backend,

@@ -79,7 +79,7 @@ def _train_tensor(
         if joint:
             Xu = Xu.T
         dummy_code = jnp.zeros((st.r, Xu.shape[1]), img.dtype)
-        st, _ = _train_scan(
+        st, _, _ = _train_scan(
             st, Xu, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, True, sub_iter,
             use_stopping, False, "stale", backend=backend,

@@ -29,7 +29,6 @@ Parity notes:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -96,7 +95,7 @@ def ising_trajectory_learning(
     def train_round(st, lat, rkey):
         corners = random_patch_corners(rkey, (n, n), k, num_patches)
         X = extract_patches(lat.astype(st.W.dtype), corners, k)
-        st, _ = _train_scan(
+        st, _, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, True, sub_iter,
             use_stopping, False, "stale", backend=backend,

@@ -90,7 +90,7 @@ def ndl_train(
         st = dataclasses.replace(st, key=key)
         X, emb = _sample_patches(ck, g, emb, B_bytes, parents, sample_size,
                                  use_glauber, weighted)
-        st, code = _train_scan(
+        st, code, _ = _train_scan(
             st, X.astype(dtype), code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, True, sub_iter,
             use_stopping, True, "stale", backend=backend,

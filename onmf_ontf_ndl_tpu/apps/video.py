@@ -65,7 +65,7 @@ def train_video_dict(
         frame = frames[f_idx]
         corners = random_patch_corners(pkey, frames.shape[1:3], k, num_patches)
         X = extract_patches(frame, corners, k)
-        st, _ = _train_scan(
+        st, _, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, True, sub_iter,
             use_stopping, False, "stale", backend=backend,

@@ -113,6 +113,7 @@ def onmf_step(
     static_argnames=(
         "iterations", "batch_size", "subsample", "sub_iter",
         "use_stopping", "track_code", "dict_from", "backend",
+        "track_metrics",
     ),
 )
 def _train_scan(
@@ -130,6 +131,7 @@ def _train_scan(
     track_code: bool,
     dict_from: str,
     backend: str = "xla",
+    track_metrics: bool = False,
 ):
     n = X.shape[1]
     r = state.r
@@ -151,9 +153,17 @@ def _train_scan(
         )
         if track_code:
             code = code.at[:, idx].add(H)
-        return (st, code), None
+        if track_metrics:
+            # per-step batch objective 0.5|Xb - W H|^2 + alpha|H|_1
+            # (post-update W), a structured training signal the reference
+            # only exposes as prints (SURVEY.md §5 metrics plan)
+            obj = (0.5 * jnp.sum((Xb - st.W @ H) ** 2)
+                   + alpha * jnp.sum(H))
+        else:
+            obj = None
+        return (st, code), obj
 
-    (state, code), _ = lax.scan(
+    (state, code), metrics = lax.scan(
         body, (state, code0), jnp.arange(1, max(iterations, 1))
     )
     if iterations > 1:
@@ -162,7 +172,7 @@ def _train_scan(
         state = dataclasses.replace(
             state, t=t0 + jnp.asarray(iterations, X.dtype)
         )
-    return state, code
+    return state, code, metrics
 
 
 def _step_inner(
@@ -228,6 +238,7 @@ def train_dict(
     dict_from: str = "stale",
     code0: jax.Array | None = None,
     backend: str = "auto",
+    return_metrics: bool = False,
 ) -> tuple[OnmfState, jax.Array]:
     """Run ``iterations - 1`` online steps over minibatches of ``X`` (d, n).
 
@@ -244,16 +255,22 @@ def train_dict(
     use_stopping = stopping_diff is not None
     sd = jnp.asarray(stopping_diff if use_stopping else 0.0, X.dtype)
     if iterations <= 1:
+        if return_metrics:
+            return state, code0, jnp.zeros((0,), X.dtype)
         return state, code0
     from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
 
-    return _train_scan(
+    state, code, metrics = _train_scan(
         state, X, code0,
         jnp.asarray(alpha, X.dtype), jnp.asarray(beta, X.dtype), sd,
         int(iterations), int(batch_size), bool(subsample), int(sub_iter),
         use_stopping, bool(track_code), dict_from,
         backend=resolve_backend(backend, use_stopping),
+        track_metrics=bool(return_metrics),
     )
+    if return_metrics:
+        return state, code, metrics
+    return state, code
 
 
 class OnlineNMF:

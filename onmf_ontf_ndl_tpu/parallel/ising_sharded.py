@@ -11,8 +11,6 @@ distribution are identical to the single-device
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

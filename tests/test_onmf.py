@@ -148,3 +148,16 @@ def test_surrogate_error_decreases_in_expectation():
         W, A, B, C, _ = nmf.train_dict()
     last = np.trace(W @ A @ W.T) - 2 * np.trace(W @ B) + np.trace(C)
     assert last < first
+
+
+def test_train_dict_metrics():
+    d, r, n = 24, 6, 40
+    st, _ = make_state(d=d, r=r, seed=11)
+    X = jnp.asarray(RNG.random((d, n)))
+    st1, code, metrics = train_dict(st, X, iterations=8, batch_size=10,
+                                    alpha=0.2, return_metrics=True)
+    assert metrics.shape == (7,)
+    m = np.asarray(metrics)
+    assert np.isfinite(m).all() and (m > 0).all()
+    # the batch objective should trend downward over training
+    assert m[-3:].mean() < m[:3].mean()
