@@ -336,7 +336,8 @@ class OnlineNMF:
         ``Online_NMF.sparse_code``, ``/root/reference/src/onmf.py:51-90``)."""
         X = jnp.asarray(X, self.dtype)
         W = jnp.asarray(W, self.dtype)
-        key = jax.random.key(hash(("sparse_code", X.shape)) & 0x7FFFFFFF)
+        # deterministic H0 key (str hashes are randomized per process)
+        key = jax.random.fold_in(jax.random.key(101), X.shape[1])
         from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
 
         return nonneg_code(

@@ -110,7 +110,8 @@ class OnlineNTF:
 
         X = jnp.asarray(X, self.dtype)
         W = jnp.asarray(W, self.dtype)
-        key = jax.random.key(hash(("ntf_code", X.shape)) & 0x7FFFFFFF)
+        # deterministic H0 key (str hashes are randomized per process)
+        key = jax.random.fold_in(jax.random.key(202), X.shape[1])
         H = nonneg_code(
             X, W, key=key, alpha=self.alpha,
             sub_iter=self.sub_iterations, stopping_diff=0.01,

@@ -101,3 +101,44 @@ def test_cli_ising_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "state.npz")
     assert os.path.exists(tmp_path / "dict.png")
     assert os.path.exists(tmp_path / "errors.npy")
+
+
+def test_check_state_catches_violations():
+    import dataclasses
+    import pytest
+    from onmf_ontf_ndl_tpu.utils.debug import check_state
+
+    st = init_state(jax.random.key(0), 8, 3, dtype=jnp.float64)
+    st_ok = dataclasses.replace(
+        st, W=st.W / jnp.maximum(1.0, jnp.linalg.norm(st.W, axis=0)))
+    check_state(st_ok)  # no raise
+
+    bad = dataclasses.replace(st_ok, W=st_ok.W.at[0, 0].set(jnp.nan))
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        check_state(bad)
+    bad = dataclasses.replace(st_ok, W=st_ok.W.at[0, 0].set(-1.0))
+    with pytest.raises(FloatingPointError, match="negative"):
+        check_state(bad)
+
+
+def test_throughput_counter():
+    from onmf_ontf_ndl_tpu.utils.profiling import Throughput
+
+    tp = Throughput()
+    X = jnp.ones((64, 64))
+    with tp.measure(items=100):
+        y = X @ X
+        tp.fence(y)
+    assert tp.items_per_sec > 0 and tp.elapsed > 0
+
+
+def test_sparse_code_key_deterministic():
+    # H0 keys must not depend on process hash randomization
+    from onmf_ontf_ndl_tpu.models.onmf import OnlineNMF
+
+    X = RNG.random((12, 9))
+    W = RNG.random((12, 4))
+    nmf = OnlineNMF(X, n_components=4, dtype=jnp.float64)
+    h1 = np.asarray(nmf.sparse_code(X, W))
+    h2 = np.asarray(nmf.sparse_code(X, W))
+    np.testing.assert_array_equal(h1, h2)
