@@ -1,0 +1,162 @@
+"""Run all five BASELINE.json evaluation configs on the TPU and record
+wall-clock + quality metrics to ``benchmarks/results.json``.
+
+Configs (BASELINE.json "configs"):
+  1. grayscale ONMF on renoir        (image_reconstruction.py main)
+  2. color ONTF joint dictionary     (image_reconstruction_tensor.py main)
+  3. Ising trajectory learning       (ising_reconstruction.py ising_sim)
+  4. NDL on the torus + a WAN matrix (network_reconstruction_nx.py main)
+  5. streaming video                 (online_learning_video demo)
+
+Usage: python benchmarks/run_all.py [--data /root/reference/Data] [--fast]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def fence(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def bench_image(data_dir, fast):
+    from onmf_ontf_ndl_tpu.apps.image import ImageReconstructor
+
+    path = f"{data_dir}/renoir/0.jpg"
+    rec = ImageReconstructor(path=path, n_components=25, iterations=100,
+                             sub_iterations=10, num_patches=100,
+                             batch_size=32, patch_size=10, is_color=False,
+                             fast=fast)
+    t0 = time.time()
+    W = rec.train_dict(); fence(W)
+    train_s = time.time() - t0
+    t0 = time.time()
+    out = rec.reconstruct_image(path=path, downscale_factor=2)
+    fence(out)
+    recon_s = time.time() - t0
+    img = rec.data if not rec.is_color else None
+    from onmf_ontf_ndl_tpu.data.images import load_image, downscale_local_mean
+    ref = downscale_local_mean(load_image(path, is_color=False), 2)
+    err = float(np.linalg.norm(np.asarray(out) - np.asarray(ref))
+                / np.linalg.norm(np.asarray(ref)))
+    steps = 100 * 9 * 32
+    return {"train_s": round(train_s, 2), "recon_s": round(recon_s, 2),
+            "patches_per_s": round(steps / train_s),
+            "recon_rel_err": round(err, 4)}
+
+
+def bench_tensor(data_dir, fast):
+    from onmf_ontf_ndl_tpu.apps.image_tensor import ImageReconstructorTensor
+
+    rec = ImageReconstructorTensor(
+        path=f"{data_dir}/renoir/0.jpg", n_components=100, iterations=20,
+        sub_iterations=2, batch_size=100, block_iterations=4,
+        num_patches=100, patch_size=20, fast=fast)
+    t0 = time.time()
+    W = rec.train_dict(mode=2, learn_joint_dict=True); fence(W)
+    return {"train_s": round(time.time() - t0, 2), "W_shape": list(W.shape)}
+
+
+def bench_ising(fast):
+    from onmf_ontf_ndl_tpu.apps.ising import IsingReconstructor
+
+    rec = IsingReconstructor(
+        n_components=100, lattice_size=200, ising_iterations=20,
+        temperature=5.0, ising_subsampling_steps=40000, sub_iterations=20,
+        batch_size=50, num_patches=1000, patch_size=20, beta=1.0,
+        sampler="checkerboard_pallas" if fast else "checkerboard",
+        fast=fast)
+    t0 = time.time()
+    _, dicts, errors = rec.ising_mcmc_learning(); fence(errors)
+    e = np.asarray(errors)
+    return {"wall_s": round(time.time() - t0, 2),
+            "surrogate_first": round(float(e[0]), 1),
+            "surrogate_last": round(float(e[-1]), 1)}
+
+
+def bench_network(data_dir, fast):
+    from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
+    from onmf_ontf_ndl_tpu.data.graphs import graph_from_adjacency
+
+    A = np.genfromtxt(f"{data_dir}/torus_adj.txt")
+    rec = NetworkReconstructor(
+        source=graph_from_adjacency(A), n_components=25, MCMC_iterations=50,
+        sub_iterations=50, sample_size=500, batch_size=20, k1=0, k2=2,
+        alpha=0.1, is_glauber_recons=False, fast=fast)
+    t0 = time.time()
+    rec.train_dict(); fence(rec.W)
+    train_s = time.time() - t0
+    t0 = time.time()
+    rec.reconstruct_network(recons_iter=20000, num_chains=64 if fast else 1)
+    acc = rec.compute_recons_accuracy()
+    recon_s = time.time() - t0
+
+    # WAN weighted matrix
+    wan = np.genfromtxt(f"{data_dir}/WAN/austen_1.txt", usecols=range(211))
+    rec2 = NetworkReconstructor(adjacency=wan, is_WAN=True,
+                                weighted_patches=True, n_components=25,
+                                MCMC_iterations=10, sub_iterations=20,
+                                sample_size=200, batch_size=20, k1=0, k2=2,
+                                fast=fast)
+    t0 = time.time()
+    rec2.train_dict(); fence(rec2.W)
+    wan_s = time.time() - t0
+    return {"torus_train_s": round(train_s, 2),
+            "torus_recon_s": round(recon_s, 2),
+            "torus_accuracy": round(acc, 4),
+            "wan_train_s": round(wan_s, 2)}
+
+
+def bench_video(data_dir, fast):
+    from onmf_ontf_ndl_tpu.apps.video import VideoDictionaryLearner
+
+    v = VideoDictionaryLearner(path=f"{data_dir}/Video/giphy-2.gif",
+                               n_components=25, sub_iterations=5,
+                               num_patches=100, batch_size=25, patch_size=7,
+                               fast=fast)
+    t0 = time.time()
+    W = v.train_dict(epochs=2); fence(W)
+    return {"train_s": round(time.time() - t0, 2),
+            "frames": int(v.frames.shape[0])}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/root/reference/Data")
+    ap.add_argument("--fast", action="store_true", default=True)
+    ap.add_argument("--reference-semantics", dest="fast",
+                    action="store_false")
+    args = ap.parse_args()
+
+    results = {"fast_mode": args.fast}
+    for name, fn in [
+        ("image_grayscale_onmf", lambda: bench_image(args.data, args.fast)),
+        ("color_ontf_joint", lambda: bench_tensor(args.data, args.fast)),
+        ("ising_trajectory", lambda: bench_ising(args.fast)),
+        ("network_dictionary_learning",
+         lambda: bench_network(args.data, args.fast)),
+        ("streaming_video", lambda: bench_video(args.data, args.fast)),
+    ]:
+        try:
+            results[name] = fn()
+            print(f"{name}: {results[name]}", file=sys.stderr, flush=True)
+        except Exception as e:  # keep going; record the failure
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"{name}: FAILED {e}", file=sys.stderr, flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

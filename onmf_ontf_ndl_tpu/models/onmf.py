@@ -60,6 +60,7 @@ def onmf_step(
     sub_iter: int = 10,
     stopping_diff: float | None = 0.01,
     dict_from: str = "stale",
+    backend: str = "auto",
 ) -> tuple[OnmfState, jax.Array]:
     """One online-NMF step on a data batch ``X`` (d, n).
 
@@ -72,40 +73,33 @@ def onmf_step(
       dict_from: "stale" updates W from the pre-step aggregates (reference
         semantics, ``/root/reference/src/onmf.py:161``); "fresh" uses the
         just-updated ones (paper semantics).
+      backend: "auto" | "xla" | "pallas" — the fused kernels are used for
+        the fixed-sweep path on TPU under "auto"/"pallas".
 
     Returns:
       (new_state, H) where H is the (r, n) nonnegative code of the batch.
     """
     if dict_from not in ("stale", "fresh"):
         raise ValueError(f"dict_from must be 'stale' or 'fresh', got {dict_from!r}")
-    W, A, B, C = state.W, state.A, state.B, state.C
+    from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
     key = state.key
     if t is None:
         t = state.t + 1.0
-    t = jnp.asarray(t, W.dtype)
+    t = jnp.asarray(t, state.W.dtype)
 
     if H0 is None:
         key, hkey = jax.random.split(key)
-        H0 = jax.random.uniform(hkey, (W.shape[1], X.shape[1]), dtype=W.dtype)
+        H0 = jax.random.uniform(hkey, (state.r, X.shape[1]),
+                                dtype=state.W.dtype)
 
-    gram = W.T @ W
-    proj = W.T @ X
-    H = nonneg_code_gram(
-        gram, proj, H0, alpha=alpha, sub_iter=sub_iter, stopping_diff=stopping_diff
+    use_stopping = stopping_diff is not None
+    sd = jnp.asarray(stopping_diff if use_stopping else 0.0, state.W.dtype)
+    new_state, H = _step_inner(
+        state, X, t, H0, alpha, beta, sub_iter, use_stopping, sd, dict_from,
+        resolve_backend(backend, use_stopping),
     )
-
-    w_t = t ** (-jnp.asarray(beta, W.dtype))
-    A1 = (1.0 - w_t) * A + w_t * (H @ H.T)
-    B1 = (1.0 - w_t) * B + w_t * (H @ X.T)
-    C1 = (1.0 - w_t) * C + w_t * (X @ X.T) if state.tracks_xxt else C
-
-    if dict_from == "stale":
-        W1 = dict_update_bcd(W, A, B)
-    else:
-        W1 = dict_update_bcd(W, A1, B1)
-
-    new_state = dataclasses.replace(state, W=W1, A=A1, B=B1, C=C1, t=t, key=key)
-    return new_state, H
+    return dataclasses.replace(new_state, key=key), H
 
 
 @functools.partial(

@@ -98,7 +98,11 @@ def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
     """
     r, n = B.shape
     R = _round_up(r, 8)
-    TN = min(block_n, _round_up(n, 128))
+    # clamp the tile so the 4 (R, TN) f32 buffers stay within a ~8 MB
+    # VMEM budget at large ranks
+    vmem_budget = 8 * 1024 * 1024
+    max_tn = max(512, (vmem_budget // (4 * 4 * R)) // 128 * 128)
+    TN = min(block_n, max_tn, _round_up(n, 128))
     N = _round_up(n, TN)
     f32 = jnp.float32
     Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))

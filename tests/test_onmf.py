@@ -161,3 +161,19 @@ def test_train_dict_metrics():
     assert np.isfinite(m).all() and (m > 0).all()
     # the batch objective should trend downward over training
     assert m[-3:].mean() < m[:3].mean()
+
+
+def test_train_dict_no_subsample():
+    # subsample=False feeds the whole X every iteration (reference's
+    # default when subsample is off, src/onmf.py:206-214)
+    d, r, n = 20, 4, 15
+    st, W = make_state(d=d, r=r, seed=21)
+    X = RNG.random((d, n))
+    iterations = 4
+    batches, H0s = _replay_rng(st.key, n, r, iterations, 99, False)
+    Ww, Aw, Bw, _, codew, _ = train_oracle(
+        X, W, iterations, batches, H0s, alpha=0.1)
+    st1, code = train_dict(st, jnp.asarray(X), iterations=iterations,
+                           batch_size=99, subsample=False, alpha=0.1)
+    np.testing.assert_allclose(np.asarray(st1.W), Ww, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(code), codew, rtol=1e-8)
