@@ -53,7 +53,7 @@ __all__ = ["NetworkReconstructor", "ndl_train", "reconstruct_network"]
     static_argnames=(
         "B_bytes", "parents", "mcmc_iterations", "sample_size",
         "inner_iterations", "batch_size", "use_glauber", "weighted",
-        "sub_iter", "use_stopping", "backend",
+        "sub_iter", "use_stopping", "backend", "num_chains",
     ),
 )
 def ndl_train(
@@ -75,21 +75,42 @@ def ndl_train(
     weighted: bool = False,
     use_stopping: bool = True,
     backend: str = "xla",
+    num_chains: int = 1,
 ):
     """Fused NDL trainer. Returns ``(state, code, emb)`` where code is the
-    accumulated (r, sample_size) code matrix."""
+    accumulated (r, sample_size) code matrix.
+
+    ``num_chains > 1`` samples each MCMC iteration's patch matrix from an
+    ensemble of independent chains (``sample_size / num_chains`` moves
+    per chain) instead of one chain — the TPU lever against the
+    sequential chain depth (the reference runs one chain,
+    ``network_reconstruction_nx.py:315-329``). ``emb0`` must then be
+    (num_chains, k)."""
     dtype = state.W.dtype
     alpha_t = jnp.asarray(alpha, dtype)
     beta_t = jnp.asarray(beta, dtype)
     sd_t = jnp.asarray(stopping_diff, dtype)
+    if num_chains > 1:
+        per = -(-sample_size // num_chains)
+        sample_size = per * num_chains
     code = jnp.zeros((state.r, sample_size), dtype)
+
+    def sample(ck, emb):
+        if num_chains <= 1:
+            return _sample_patches(ck, g, emb, B_bytes, parents,
+                                   sample_size, use_glauber, weighted)
+        Xs, embs = jax.vmap(
+            lambda kk, e: _sample_patches(kk, g, e, B_bytes, parents, per,
+                                          use_glauber, weighted)
+        )(jax.random.split(ck, num_chains), emb)
+        k2 = Xs.shape[1]
+        return jnp.moveaxis(Xs, 1, 0).reshape(k2, -1), embs
 
     def body(carry, _):
         st, emb, code = carry
         key, ck, = jax.random.split(st.key)
         st = dataclasses.replace(st, key=key)
-        X, emb = _sample_patches(ck, g, emb, B_bytes, parents, sample_size,
-                                 use_glauber, weighted)
+        X, emb = sample(ck, emb)
         st, code, _ = _train_scan(
             st, X.astype(dtype), code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, True, sub_iter,
@@ -213,6 +234,7 @@ class NetworkReconstructor:
         is_glauber_recons: bool = True,
         weighted_patches: bool = False,
         fast: bool = False,
+        num_chains: int = 1,
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -239,14 +261,22 @@ class NetworkReconstructor:
         self.fast = fast
         self.dtype = dtype
 
+        self.num_chains = max(1, int(num_chains))
         self.B = path_adj(k1, k2)
         self._B_bytes = np.asarray(self.B, np.int8).tobytes()
         self._parents = tree_parents(self.B)
         k = k1 + k2 + 1
         self.key = jax.random.key(seed)
         self.key, xk, tk = jax.random.split(self.key, 3)
-        x0 = jax.random.randint(xk, (), 0, self.G.num_nodes)
-        self.emb = tree_sample(tk, self._parents, self.G, x0)
+        if self.num_chains > 1:
+            x0 = jax.random.randint(xk, (self.num_chains,), 0,
+                                    self.G.num_nodes)
+            self.emb = jax.vmap(
+                lambda kk, x: tree_sample(kk, self._parents, self.G, x)
+            )(jax.random.split(tk, self.num_chains), x0)
+        else:
+            x0 = jax.random.randint(xk, (), 0, self.G.num_nodes)
+            self.emb = tree_sample(tk, self._parents, self.G, x0)
         self.state = init_state(self.key, k * k, n_components, dtype=dtype)
         self.code = jnp.zeros((n_components, sample_size), dtype)
 
@@ -274,6 +304,7 @@ class NetworkReconstructor:
             weighted=self.weighted_patches,
             use_stopping=not self.fast,
             backend=resolve_backend("auto", not self.fast),
+            num_chains=self.num_chains,
         )
         return self.state.W
 
@@ -283,8 +314,9 @@ class NetworkReconstructor:
         (N, N) matrix (``reconstruct_network``, ``:444-511``).
         ``num_chains > 1`` splits the work over an ensemble of chains."""
         self.key, rk = jax.random.split(self.key)
-        recon, cnt, self.emb = reconstruct_network(
-            self.state.W, self.G, self.emb, rk, self._B_bytes, self._parents,
+        emb0 = self.emb[0] if self.num_chains > 1 else self.emb
+        recon, cnt, _ = reconstruct_network(
+            self.state.W, self.G, emb0, rk, self._B_bytes, self._parents,
             recons_iter=recons_iter, alpha=alpha,
             use_glauber=self.is_glauber_recons,
             weighted=self.weighted_patches, num_chains=num_chains,

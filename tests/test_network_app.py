@@ -77,3 +77,18 @@ def test_fast_mode_trains():
     W = rec.train_dict()
     assert (np.asarray(W) >= 0).all()
     assert float(rec.state.t) == 4 * 5
+
+
+def test_ensemble_training_chains():
+    g = graph_from_adjacency(torus_adjacency(10))
+    rec = NetworkReconstructor(
+        source=g, n_components=16, MCMC_iterations=8, sub_iterations=10,
+        sample_size=96, batch_size=20, k1=0, k2=2, alpha=0.1,
+        num_chains=8, is_glauber_recons=False, dtype=jnp.float64,
+    )
+    W = rec.train_dict()
+    assert (np.asarray(W) >= 0).all()
+    assert rec.emb.shape == (8, 3)
+    rec.reconstruct_network(recons_iter=4000, num_chains=8)
+    acc = rec.compute_recons_accuracy()
+    assert acc > 0.5, acc
