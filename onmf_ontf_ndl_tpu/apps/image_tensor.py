@@ -122,6 +122,7 @@ class ImageReconstructorTensor:
             data = load_image(path, is_matrix=is_matrix, is_color=is_color,
                               dtype=dtype)
         self.data = jnp.asarray(data, dtype)
+        self.path = path
         self.n_components = n_components
         self.iterations = iterations
         self.sub_iterations = sub_iterations
@@ -175,7 +176,8 @@ class ImageReconstructorTensor:
         from onmf_ontf_ndl_tpu.apps.image import reconstruct
 
         if data is None:
-            data = load_image(path, is_color=True, dtype=self.dtype)
+            data = load_image(path or self.path, is_color=True,
+                              dtype=self.dtype)
         return reconstruct(
             jnp.asarray(data, self.dtype), self.W, jax.random.key(29),
             patch_size=self.patch_size, stride=recons_resolution, alpha=alpha,

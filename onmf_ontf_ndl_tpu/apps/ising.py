@@ -180,17 +180,23 @@ class IsingReconstructor:
         self.J = J
         self.field = field
         self.alpha = alpha
+        if sampler not in ("exact", "checkerboard", "checkerboard_pallas"):
+            raise ValueError(
+                f"sampler must be 'exact', 'checkerboard' or "
+                f"'checkerboard_pallas', got {sampler!r}")
         self.sampler = sampler
         self.update_lattice = update_lattice
         self.fast = fast
         self.dtype = dtype
         key = jax.random.key(seed)
-        self.key, lkey = jax.random.split(key)
+        self.key, lkey, skey = jax.random.split(key, 3)
         self.lattice = init_lattice(lkey, lattice_size)
         d = patch_size**2
         # full-aggregate path: the Ising driver is the one that tracks
         # C = agg X X^T for the surrogate error (SURVEY.md C12).
-        self.state = init_state(self.key, d, n_components, track_xxt=True,
+        # NOTE: skey (not self.key) seeds the state so the driver key
+        # stream stays disjoint from the optimizer key stream.
+        self.state = init_state(skey, d, n_components, track_xxt=True,
                                 dtype=dtype)
         self.W = self.state.W
         self.errors = None

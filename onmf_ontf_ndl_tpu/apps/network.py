@@ -267,7 +267,8 @@ class NetworkReconstructor:
         self._parents = tree_parents(self.B)
         k = k1 + k2 + 1
         self.key = jax.random.key(seed)
-        self.key, xk, tk = jax.random.split(self.key, 3)
+        # 4-way split keeps the driver stream disjoint from the state's
+        self.key, xk, tk, sk = jax.random.split(self.key, 4)
         if self.num_chains > 1:
             x0 = jax.random.randint(xk, (self.num_chains,), 0,
                                     self.G.num_nodes)
@@ -277,7 +278,7 @@ class NetworkReconstructor:
         else:
             x0 = jax.random.randint(xk, (), 0, self.G.num_nodes)
             self.emb = tree_sample(tk, self._parents, self.G, x0)
-        self.state = init_state(self.key, k * k, n_components, dtype=dtype)
+        self.state = init_state(sk, k * k, n_components, dtype=dtype)
         self.code = jnp.zeros((n_components, sample_size), dtype)
 
     @property

@@ -89,7 +89,9 @@ def main(argv=None):
     }
     for name, cls in specs.items():
         p = sub.add_parser(name)
-        p.add_argument("--out-dir", default="out")
+        # SUPPRESS so a top-level --out-dir isn't clobbered by the
+        # subparser default
+        p.add_argument("--out-dir", default=argparse.SUPPRESS)
         p.add_argument("--no-recons", action="store_true")
         _add_fields(p, cls)
 

@@ -21,4 +21,8 @@ def resolve_backend(backend: str, use_stopping: bool) -> str:
         return "pallas" if (on_tpu and not use_stopping) else "xla"
     if backend not in ("xla", "pallas"):
         raise ValueError(f"unknown backend {backend!r}")
+    if backend == "pallas" and use_stopping:
+        # the kernels have no early-stopping form; honor the stopping
+        # semantics over the explicit backend request
+        return "xla"
     return backend

@@ -40,7 +40,11 @@ def load_state(path: str, dtype=None) -> OnmfState:
     with np.load(path) as z:
         W = z["W"]
         cast = (lambda a: jnp.asarray(a, dtype)) if dtype else jnp.asarray
-        key = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
+        impl = str(np.asarray(z["key_impl"]).item())
+        if impl.startswith("b'"):  # bytes repr round-trip
+            impl = impl[2:-1]
+        key = jax.random.wrap_key_data(jnp.asarray(z["key_data"]),
+                                       impl=impl)
         return OnmfState(
             W=cast(W), A=cast(z["A"]), B=cast(z["B"]), C=cast(z["C"]),
             t=cast(z["t"]), key=key,

@@ -142,3 +142,40 @@ def test_sparse_code_key_deterministic():
     h1 = np.asarray(nmf.sparse_code(X, W))
     h2 = np.asarray(nmf.sparse_code(X, W))
     np.testing.assert_array_equal(h1, h2)
+
+
+def test_cli_top_level_out_dir(tmp_path):
+    # a --out-dir given before the subcommand must not be clobbered by
+    # the subparser default
+    import argparse
+    from onmf_ontf_ndl_tpu.cli import main as cli_main
+    out = tmp_path / "toplevel"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from onmf_ontf_ndl_tpu.cli import main;"
+        f"main(['--out-dir',{str(out)!r},'ising',"
+        "'--n-components','3','--lattice-size','8',"
+        "'--ising-iterations','1','--ising-subsampling-steps','16',"
+        "'--sub-iterations','2','--num-patches','5',"
+        "'--batch-size','3','--patch-size','3'])"
+    )
+    env = dict(os.environ)
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert os.path.exists(out / "state.npz")
+
+
+def test_invalid_sampler_rejected():
+    import pytest
+    from onmf_ontf_ndl_tpu.apps.ising import IsingReconstructor
+
+    with pytest.raises(ValueError, match="sampler"):
+        IsingReconstructor(sampler="metropolis")
+
+
+def test_explicit_pallas_with_stopping_falls_back():
+    from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
+    assert resolve_backend("pallas", True) == "xla"
+    assert resolve_backend("pallas", False) == "pallas"
