@@ -177,3 +177,76 @@ def dp_train_dict(
         check_vma=False,
     )
     return jax.jit(train)(state, shard_batch(mesh, X, axis))
+
+
+def dp_train_image_dict(
+    mesh: Mesh,
+    state: OnmfState,
+    img: jax.Array,
+    *,
+    outer_iterations: int,
+    num_patches_per_device: int,
+    inner_iterations: int,
+    batch_size_per_device: int,
+    patch_size: int,
+    alpha: float = 0.0,
+    beta: float = 1.0,
+    sub_iter: int = 10,
+    dict_from: str = "stale",
+    axis: str = "dp",
+):
+    """Data-parallel fused image trainer: every device samples its own
+    random patches from the (replicated) image and runs the inner online
+    steps with psum'd aggregate statistics — the multi-chip version of
+    :func:`onmf_ontf_ndl_tpu.apps.image.train_image_dict`. The global
+    effective batch per step is ``batch_size_per_device * ndev``.
+    """
+    from onmf_ontf_ndl_tpu.ops.patches import (
+        extract_patches, random_patch_corners)
+
+    k = patch_size
+
+    def local_train(st: OnmfState, img):
+        me = lax.axis_index(axis)
+        t0 = st.t
+
+        def outer(carry, o):
+            st = carry
+            key, pkey, ikey = jax.random.split(
+                jax.random.fold_in(st.key, o), 3)
+            pkey = jax.random.fold_in(pkey, me)
+            corners = random_patch_corners(pkey, img.shape[:2], k,
+                                           num_patches_per_device)
+            X = extract_patches(img, corners, k)
+
+            def inner(st, i):
+                skey, hkey = jax.random.split(
+                    jax.random.fold_in(jax.random.fold_in(ikey, i), me))
+                idx = jax.random.randint(
+                    skey, (batch_size_per_device,), 0, X.shape[1])
+                Xb = jnp.take(X, idx, axis=1)
+                H0 = jax.random.uniform(
+                    hkey, (st.r, batch_size_per_device), dtype=Xb.dtype)
+                st, _ = _local_step(
+                    st, Xb, st.t + 1.0, H0, jnp.asarray(0.0, Xb.dtype),
+                    alpha=alpha, beta=beta, sub_iter=int(sub_iter),
+                    use_stopping=False, dict_from=dict_from, axis=axis)
+                return st, None
+
+            st, _ = lax.scan(inner, st, jnp.arange(1, max(inner_iterations, 1)))
+            if inner_iterations > 1:
+                st = dataclasses.replace(
+                    st, t=st.t + 1.0)  # reference history gap per run
+            st = dataclasses.replace(st, key=key)
+            return st, None
+
+        st, _ = lax.scan(outer, st, jnp.arange(outer_iterations))
+        return st
+
+    train = shard_map(
+        local_train, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(train)(state, img)

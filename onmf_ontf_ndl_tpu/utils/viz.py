@@ -133,3 +133,34 @@ def display_recons_panel(W_list, A_recons_list, originals, patch_size: int,
         plt.show()
     plt.close(fig)
     return save_path
+
+
+def display_dictionary_color_combine(W, H, patch_size: int, *,
+                                     save_path: str | None = None,
+                                     show: bool = False):
+    """Combine a spatial dictionary W (k^2, r) with a channel dictionary
+    H (3, r) into color atoms and display the grid — the reference's
+    marginal-dictionaries recombination
+    (``image_reconstruction_tensor.py:186-204``)."""
+    import matplotlib
+    if save_path and not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    W = np.asarray(W)
+    H = np.asarray(H)
+    k = patch_size
+    img_dict = W[:, None, :] * H[None, :, :]        # (k^2, 3, r)
+    rows, cols = _grid_dims(W.shape[1])
+    fig, axs = plt.subplots(nrows=rows, ncols=cols, figsize=(6, 6),
+                            subplot_kw={"xticks": [], "yticks": []})
+    for ax, i in zip(np.atleast_1d(axs).flat, range(W.shape[1])):
+        patch = img_dict[:, :, i].reshape(k, k, 3)
+        ax.imshow(patch / max(patch.max(), 1e-12))
+    plt.suptitle(f"Combined color dictionary ({k}x{k})", fontsize=14)
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+    return save_path

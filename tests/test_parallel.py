@@ -87,3 +87,32 @@ def test_sharded_ising_physics():
     corr = np.mean(s * np.roll(s, 1, 0))
     assert corr > 0.85  # strong local order below Tc
     assert set(np.unique(s)).issubset({-1.0, 1.0})
+
+
+def test_dp_image_trainer():
+    from onmf_ontf_ndl_tpu.parallel.dp import dp_train_image_dict
+
+    mesh = make_mesh({"dp": 8})
+    rng = np.random.default_rng(15)
+    yy, xx = np.mgrid[0:40, 0:40]
+    img = jnp.asarray(
+        0.5 + 0.4 * np.sin(xx / 3.0) * np.cos(yy / 4.0), jnp.float64)
+    st = init_state(jax.random.key(5), 25, 6, dtype=jnp.float64)
+    st2 = dp_train_image_dict(
+        mesh, st, img, outer_iterations=6, num_patches_per_device=20,
+        inner_iterations=4, batch_size_per_device=8, patch_size=5)
+    W = np.asarray(st2.W)
+    assert (W >= 0).all()
+    assert (np.linalg.norm(W, axis=0) <= 1 + 1e-9).all()
+    assert float(st2.t) > 0
+    # the learned dictionary should beat the random init at coding
+    from onmf_ontf_ndl_tpu.ops.patches import extract_patches_grid
+    from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
+    X = extract_patches_grid(img, 5, 3)
+    def err(Wm):
+        H = nonneg_code(X, jnp.asarray(Wm), key=jax.random.key(9),
+                        alpha=0.0, sub_iter=20, stopping_diff=None)
+        return float(jnp.linalg.norm(X - jnp.asarray(Wm) @ H)
+                     / jnp.linalg.norm(X))
+    W0 = np.asarray(st.W) / np.maximum(1, np.linalg.norm(np.asarray(st.W), axis=0))
+    assert err(W) < err(W0)

@@ -179,3 +179,13 @@ def test_explicit_pallas_with_stopping_falls_back():
 
     assert resolve_backend("pallas", True) == "xla"
     assert resolve_backend("pallas", False) == "pallas"
+
+
+def test_viz_color_combine(tmp_path):
+    from onmf_ontf_ndl_tpu.utils import viz
+
+    W = RNG.random((25, 6))
+    H = RNG.random((3, 6))
+    p = viz.display_dictionary_color_combine(
+        W, H, 5, save_path=str(tmp_path / "cc.png"))
+    assert os.path.getsize(p) > 0
