@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from onmf_ontf_ndl_tpu.data.graphs import Graph, graph_from_adjacency, load_edgelist
+from onmf_ontf_ndl_tpu.data.graphs import (
+    BitsetGraph, Graph, graph_from_adjacency, load_edgelist)
 from onmf_ontf_ndl_tpu.models.onmf import _train_scan
 from onmf_ontf_ndl_tpu.models.state import OnmfState, init_state
 from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
@@ -190,13 +191,15 @@ def reconstruct_network(
         emb = embf[0]
 
     if weighted:
-        if g.weight is None:
+        if getattr(g, "weight", None) is None:
             raise ValueError("weighted reconstruction needs a weighted Graph")
-        M = g.weight
+        X = g.weight[embs[:, :, None], embs[:, None, :]].reshape(
+            recons_iter, k * k).astype(W.dtype).T
     else:
-        M = g.adj
-    X = M[embs[:, :, None], embs[:, None, :]].reshape(
-        recons_iter, k * k).astype(W.dtype).T
+        from onmf_ontf_ndl_tpu.samplers.motif import _pair_matrix
+
+        X = jax.vmap(lambda e: _pair_matrix(g, e))(embs).reshape(
+            recons_iter, k * k).astype(W.dtype).T
 
     # fixed sweeps (no spectral-norm stopping): routes to the Pallas
     # kernel on TPU and avoids the SVD-in-while_loop cost at recon widths
@@ -238,7 +241,7 @@ class NetworkReconstructor:
         seed: int = 0,
         dtype=jnp.float32,
     ):
-        if isinstance(source, Graph):
+        if isinstance(source, (Graph, BitsetGraph)):
             self.G = source
         elif source is not None:
             self.G = load_edgelist(source)
@@ -356,7 +359,15 @@ class NetworkReconstructor:
         (``network_reconstruction_nx.py:513-524``)."""
         if G_recons is None:
             G_recons = self.G_recons
-        adj = np.asarray(self.G.adj)
+        if isinstance(self.G, BitsetGraph):
+            # unpack the bit rows to a dense boolean matrix on the host
+            bits = np.ascontiguousarray(np.asarray(self.G.bits))
+            n = self.G.num_nodes
+            adj = (np.unpackbits(
+                bits.view(np.uint8), axis=1, bitorder="little")[:, :n]
+                .astype(bool))
+        else:
+            adj = np.asarray(self.G.adj)
         rec = np.array(G_recons)  # writable copy
         np.fill_diagonal(rec, False)
         common = np.logical_and(adj, rec).sum() // 2

@@ -29,7 +29,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Graph", "graph_from_edgelist", "graph_from_adjacency", "load_edgelist"]
+__all__ = ["Graph", "BitsetGraph", "graph_from_edgelist",
+           "graph_from_adjacency", "load_edgelist",
+           "bitset_graph_from_edges", "load_edgelist_bitset"]
 
 
 @jax.tree_util.register_dataclass
@@ -141,3 +143,82 @@ def load_edgelist(path: str, delimiter: str = ",",
                 raise
     edges = np.genfromtxt(path, delimiter=delimiter, dtype=np.int64)
     return graph_from_edgelist(edges)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BitsetGraph:
+    """Bit-packed graph for beyond-dense-adjacency scale (N^2/8 bytes of
+    adjacency instead of N^2; CSR neighbor storage instead of a padded
+    table). The documented scaling path past ~30k nodes — same sampler
+    semantics as :class:`Graph` via the dispatch helpers in
+    ``samplers/motif.py``. Binary graphs only (no edge weights)."""
+
+    bits: jax.Array      # (N, ceil(N/32)) uint32 packed adjacency rows
+    nbr_flat: jax.Array  # (2E,) int32 CSR neighbor list
+    offsets: jax.Array   # (N,) int32 CSR row starts
+    deg: jax.Array       # (N,) int32
+    node_ids: tuple = dataclasses.field(
+        metadata=dict(static=True), default=())
+
+    @property
+    def num_nodes(self) -> int:
+        return self.bits.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return int(np.asarray(self.deg).sum()) // 2
+
+    # no weights for the bitset representation
+    weight = None
+
+
+def _intern_edges(edges):
+    """First-appearance node interning; returns (E,2) int arrays of
+    indices, deduped and self-loop-free, plus node_ids."""
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    order: dict[int, int] = {}
+    for a, b in edges:
+        if int(a) not in order:
+            order[int(a)] = len(order)
+        if int(b) not in order:
+            order[int(b)] = len(order)
+    node_ids = np.fromiter(order.keys(), dtype=np.int64, count=len(order))
+    lut = {k: v for k, v in order.items()}
+    e = np.array([(lut[int(a)], lut[int(b)]) for a, b in edges],
+                 dtype=np.int64).reshape(-1, 2)
+    e = e[e[:, 0] != e[:, 1]]
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    e = np.unique(np.stack([lo, hi], 1), axis=0)
+    return e, node_ids
+
+
+def bitset_graph_from_edges(edges) -> BitsetGraph:
+    """Build a :class:`BitsetGraph` from an (E, 2) edge array without ever
+    materializing the dense adjacency (E-sized host work)."""
+    e, node_ids = _intern_edges(edges)
+    n = len(node_ids)
+    both = np.concatenate([e, e[:, ::-1]], axis=0)        # directed both ways
+    src, dst = both[:, 0], both[:, 1]
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    deg = np.bincount(src, minlength=n).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(deg)[:-1]]).astype(np.int32)
+    words = (n + 31) // 32
+    bits = np.zeros((n, words), np.uint32)
+    np.bitwise_or.at(bits, (src, (dst // 32)),
+                     (np.uint32(1) << (dst % 32).astype(np.uint32)))
+    return BitsetGraph(
+        bits=jnp.asarray(bits),
+        nbr_flat=jnp.asarray(dst.astype(np.int32)),
+        offsets=jnp.asarray(offsets),
+        deg=jnp.asarray(deg),
+        node_ids=tuple(int(v) for v in node_ids),
+    )
+
+
+def load_edgelist_bitset(path: str, delimiter: str = ",") -> BitsetGraph:
+    """Edge-list file -> BitsetGraph."""
+    edges = np.genfromtxt(path, delimiter=delimiter, dtype=np.int64)
+    return bitset_graph_from_edges(edges)

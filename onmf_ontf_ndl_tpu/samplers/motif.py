@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from onmf_ontf_ndl_tpu.data.graphs import Graph
+from onmf_ontf_ndl_tpu.data.graphs import BitsetGraph, Graph
 
 __all__ = [
     "path_adj",
@@ -71,13 +71,38 @@ def tree_parents(B: np.ndarray) -> tuple[int, ...]:
     return tuple(parents)
 
 
-def _uniform_neighbor(key: jax.Array, g: Graph, x: jax.Array) -> jax.Array:
+def _uniform_neighbor(key: jax.Array, g, x: jax.Array) -> jax.Array:
     """Uniform draw from the neighbors of x; returns x itself when x is
     isolated (the reference's tree_sample fallback, ``:128-131``)."""
     d = g.deg[x]
     idx = jax.random.randint(key, (), 0, jnp.maximum(d, 1))
-    y = g.nbr[x, idx]
+    if isinstance(g, BitsetGraph):
+        y = g.nbr_flat[g.offsets[x] + idx]
+    else:
+        y = g.nbr[x, idx]
     return jnp.where(d > 0, y, x)
+
+
+def _adj_rows(g, emb: jax.Array) -> jax.Array:
+    """(k, N) boolean adjacency rows of the embedded nodes, for either
+    graph representation (bitset rows are unpacked on the fly)."""
+    if isinstance(g, BitsetGraph):
+        n = g.num_nodes
+        words = g.bits[emb]                        # (k, W32)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bools = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+        return bools.reshape(emb.shape[0], -1)[:, :n].astype(bool)
+    return g.adj[emb]
+
+
+def _pair_matrix(g, emb: jax.Array) -> jax.Array:
+    """(k, k) float edge-indicator matrix among the embedded nodes."""
+    if isinstance(g, BitsetGraph):
+        cols = emb[None, :]
+        words = g.bits[emb[:, None], cols // 32]
+        bit = (words >> cols.astype(jnp.uint32) % 32) & jnp.uint32(1)
+        return bit.astype(jnp.float32)
+    return g.adj[emb[:, None], emb[None, :]].astype(jnp.float32)
 
 
 def _uniform_from_mask(key: jax.Array, mask: jax.Array) -> jax.Array:
@@ -90,7 +115,7 @@ def _uniform_from_mask(key: jax.Array, mask: jax.Array) -> jax.Array:
     return jax.random.categorical(key, logits)
 
 
-def tree_sample(key: jax.Array, parents: tuple[int, ...], g: Graph,
+def tree_sample(key: jax.Array, parents: tuple[int, ...], g,
                 x: jax.Array) -> jax.Array:
     """Grow a motif embedding from pivot x by sampling, for each node in
     depth-first order, a uniform neighbor of its parent's image
@@ -104,7 +129,7 @@ def tree_sample(key: jax.Array, parents: tuple[int, ...], g: Graph,
     return emb
 
 
-def rw_update(key: jax.Array, g: Graph, x: jax.Array) -> jax.Array:
+def rw_update(key: jax.Array, g, x: jax.Array) -> jax.Array:
     """MH random walk step with uniform stationary distribution:
     propose a uniform neighbor y, accept w.p. min(1, deg x / deg y)
     (``RW_update``, ``network_reconstruction_nx.py:175-199``); isolated
@@ -133,7 +158,7 @@ def glauber_update(key: jax.Array, B: np.ndarray, parents: tuple[int, ...],
     j = jax.random.randint(kj, (), 0, k)
     Bj = jnp.asarray((B + B.T) > 0)          # motif neighbor indicator
     sel = Bj[j]                               # (k,) which motif nodes constrain j
-    rows = g.adj[emb]                         # (k, N) adjacency rows of images
+    rows = _adj_rows(g, emb)                  # (k, N) adjacency rows of images
     cmn = jnp.all(jnp.logical_or(rows, jnp.logical_not(sel)[:, None]), axis=0)
     y = _uniform_from_mask(ks, cmn)
     return emb.at[j].set(y.astype(jnp.int32))
@@ -153,12 +178,10 @@ def patch_from_embedding(g: Graph, emb: jax.Array, *,
     """k x k induced adjacency (or weight) patch of an embedding
     (``chd_gen_mx``, ``network_reconstruction_nx.py:301-305``)."""
     if weighted:
-        if g.weight is None:
+        if getattr(g, "weight", None) is None:
             raise ValueError("weighted patches need a weighted Graph")
-        M = g.weight
-    else:
-        M = g.adj
-    return M[emb[:, None], emb[None, :]].astype(jnp.float32)
+        return g.weight[emb[:, None], emb[None, :]].astype(jnp.float32)
+    return _pair_matrix(g, emb)
 
 
 @functools.partial(

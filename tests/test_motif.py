@@ -152,3 +152,49 @@ def test_weighted_patches():
     emb = jnp.asarray([0, 1, 2], jnp.int32)
     P = np.asarray(patch_from_embedding(g, emb, weighted=True))
     assert np.isclose(P[0, 1], 1.0) and np.isclose(P[1, 2], 0.5)
+
+
+def test_bitset_graph_equivalence():
+    from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
+    from onmf_ontf_ndl_tpu.samplers.motif import _adj_rows, _pair_matrix
+
+    rng = np.random.default_rng(17)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 70, (300, 2))
+             if a != b]
+    gd = graph_from_edgelist(np.asarray(edges))
+    gb = bitset_graph_from_edges(np.asarray(edges))
+    assert gd.node_ids == gb.node_ids
+    assert gd.num_edges == gb.num_edges
+    np.testing.assert_array_equal(np.asarray(gd.deg), np.asarray(gb.deg))
+
+    emb = jnp.asarray([0, 3, 7, 12], jnp.int32)
+    np.testing.assert_array_equal(np.asarray(_adj_rows(gd, emb)),
+                                  np.asarray(_adj_rows(gb, emb)))
+    np.testing.assert_array_equal(np.asarray(_pair_matrix(gd, emb)),
+                                  np.asarray(_pair_matrix(gb, emb)))
+
+    # uniform-neighbor draws hit exactly the neighbor sets
+    from onmf_ontf_ndl_tpu.samplers.motif import _uniform_neighbor
+    adj = np.asarray(gd.adj)
+    for x in (0, 5, 11):
+        ys = {int(_uniform_neighbor(jax.random.key(s), gb, jnp.int32(x)))
+              for s in range(80)}
+        assert ys <= set(np.flatnonzero(adj[x]))
+
+
+def test_bitset_glauber_law_matches_dense():
+    from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
+
+    edges = [[0, 1], [1, 2], [2, 0], [2, 3], [3, 4], [4, 0], [1, 3]]
+    gd = graph_from_edgelist(edges)
+    gb = bitset_graph_from_edges(edges)
+    B = path_adj(0, 2)
+    parents = tree_parents(B)
+    emb0 = jnp.asarray([0, 1, 2], jnp.int32)
+    reps = 20000
+    outs_d = jax.vmap(lambda k: glauber_update(k, B, parents, gd, emb0))(
+        jax.random.split(jax.random.key(3), reps))
+    outs_b = jax.vmap(lambda k: glauber_update(k, B, parents, gb, emb0))(
+        jax.random.split(jax.random.key(3), reps))
+    # identical keys + identical conditional law => identical draws
+    np.testing.assert_array_equal(np.asarray(outs_d), np.asarray(outs_b))

@@ -92,3 +92,39 @@ def test_ensemble_training_chains():
     rec.reconstruct_network(recons_iter=4000, num_chains=8)
     acc = rec.compute_recons_accuracy()
     assert acc > 0.5, acc
+
+
+def test_ndl_on_bitset_graph():
+    from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
+
+    A = torus_adjacency(10)
+    edges = np.argwhere(np.triu(A))
+    g = bitset_graph_from_edges(edges)
+    rec = NetworkReconstructor(
+        source=g, n_components=16, MCMC_iterations=8, sub_iterations=10,
+        sample_size=100, batch_size=20, k1=0, k2=2, alpha=0.1,
+        is_glauber_recons=False, dtype=jnp.float64,
+    )
+    rec.train_dict()
+    rec.reconstruct_network(recons_iter=4000)
+    # accuracy vs the dense ground truth
+    rec_dense = np.array(rec.G_recons)
+    np.fill_diagonal(rec_dense, False)
+    common = np.logical_and(A, rec_dense).sum() // 2
+    acc = common / (A.sum() // 2)
+    assert acc > 0.5, acc
+
+
+def test_bitset_accuracy_method():
+    from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
+
+    A = torus_adjacency(6)
+    g = bitset_graph_from_edges(np.argwhere(np.triu(A)))
+    rec = NetworkReconstructor(
+        source=g, n_components=9, MCMC_iterations=4, sub_iterations=5,
+        sample_size=50, batch_size=10, k1=0, k2=1, dtype=jnp.float64,
+    )
+    rec.train_dict()
+    rec.reconstruct_network(recons_iter=1000)
+    acc = rec.compute_recons_accuracy()
+    assert 0.0 <= acc <= 1.0
