@@ -35,4 +35,25 @@ __all__ = [
     "train_dict",
     "nonneg_code",
     "nonneg_code_gram",
+    "ImageReconstructor",
+    "ImageReconstructorTensor",
+    "IsingReconstructor",
+    "NetworkReconstructor",
+    "VideoDictionaryLearner",
 ]
+
+
+def __getattr__(name):
+    # lazy app exports (they pull in matplotlib/PIL only when used)
+    apps = {
+        "ImageReconstructor": "onmf_ontf_ndl_tpu.apps.image",
+        "ImageReconstructorTensor": "onmf_ontf_ndl_tpu.apps.image_tensor",
+        "IsingReconstructor": "onmf_ontf_ndl_tpu.apps.ising",
+        "NetworkReconstructor": "onmf_ontf_ndl_tpu.apps.network",
+        "VideoDictionaryLearner": "onmf_ontf_ndl_tpu.apps.video",
+    }
+    if name in apps:
+        import importlib
+
+        return getattr(importlib.import_module(apps[name]), name)
+    raise AttributeError(name)

@@ -339,6 +339,19 @@ class OnlineNMF:
             sub_iter=self.sub_iter, stopping_diff=self.stopping_diff,
         )
 
+    def partial_fit(self, X_batch):
+        """True-streaming ingestion: one online step on an incoming batch
+        (d, n) — the convenience form of the reference's warm-start
+        threading across ``Online_NMF`` instances
+        (``image_reconstruction.py:289-312``). Returns self."""
+        X_batch = jnp.asarray(X_batch, self.dtype)
+        self.state, H = onmf_step(
+            self.state, X_batch, alpha=self.alpha, beta=self.beta,
+            sub_iter=self.sub_iter, stopping_diff=self.stopping_diff,
+            dict_from=self.dict_from,
+        )
+        return self
+
     def train_dict(self):
         """Learn/refine the dictionary; returns ``(W, At, Bt, Ct, H)``."""
         self.state, self.code = train_dict(

@@ -177,3 +177,14 @@ def test_train_dict_no_subsample():
                            batch_size=99, subsample=False, alpha=0.1)
     np.testing.assert_allclose(np.asarray(st1.W), Ww, rtol=1e-8)
     np.testing.assert_allclose(np.asarray(code), codew, rtol=1e-8)
+
+
+def test_partial_fit_streaming():
+    X = RNG.random((20, 200))
+    nmf = OnlineNMF(X[:, :1], n_components=4, dtype=jnp.float64, beta=0.8)
+    t_prev = nmf.history
+    for i in range(5):
+        nmf.partial_fit(X[:, i * 40:(i + 1) * 40])
+    assert nmf.history == t_prev + 5  # one schedule tick per batch
+    W = np.asarray(nmf.state.W)
+    assert (W >= 0).all()
