@@ -116,3 +116,24 @@ def test_dp_image_trainer():
                      / jnp.linalg.norm(X))
     W0 = np.asarray(st.W) / np.maximum(1, np.linalg.norm(np.asarray(st.W), axis=0))
     assert err(W) < err(W0)
+
+
+def test_auto_train_dict_matches_single_device():
+    from onmf_ontf_ndl_tpu.parallel.auto import auto_train_dict
+    from onmf_ontf_ndl_tpu.models.onmf import train_dict
+
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    d, r, n = 24, 8, 64
+    st = init_state(jax.random.key(7), d, r, dtype=jnp.float64)
+    X = jnp.asarray(RNG.random((d, n)))
+
+    st_single, code_single = train_dict(st, X, iterations=5, batch_size=16,
+                                        stopping_diff=None)
+    st_auto, code_auto = auto_train_dict(
+        mesh, st, X, dp_axis="dp", tp_axis="tp",
+        iterations=5, batch_size=16, stopping_diff=None)
+    # GSPMD changes layout, not semantics
+    np.testing.assert_allclose(np.asarray(st_auto.W),
+                               np.asarray(st_single.W), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(code_auto),
+                               np.asarray(code_single), rtol=1e-12)
