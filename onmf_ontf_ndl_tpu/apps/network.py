@@ -39,9 +39,12 @@ from onmf_ontf_ndl_tpu.models.onmf import _train_scan
 from onmf_ontf_ndl_tpu.models.state import OnmfState, init_state
 from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
 from onmf_ontf_ndl_tpu.samplers.motif import (
+    _pair_matrix,
     _sample_patches,
+    _sample_patches_ensemble_impl,
+    glauber_update,
     path_adj,
-    sample_patches,
+    pivot_update,
     tree_parents,
     tree_sample,
 )
@@ -100,12 +103,8 @@ def ndl_train(
         if num_chains <= 1:
             return _sample_patches(ck, g, emb, B_bytes, parents,
                                    sample_size, use_glauber, weighted)
-        Xs, embs = jax.vmap(
-            lambda kk, e: _sample_patches(kk, g, e, B_bytes, parents, per,
-                                          use_glauber, weighted)
-        )(jax.random.split(ck, num_chains), emb)
-        k2 = Xs.shape[1]
-        return jnp.moveaxis(Xs, 1, 0).reshape(k2, -1), embs
+        return _sample_patches_ensemble_impl(
+            ck, g, emb, B_bytes, parents, per, use_glauber, weighted)
 
     def body(carry, _):
         st, emb, code = carry
@@ -132,7 +131,6 @@ def ndl_train(
 def reconstruct_network(
     W: jax.Array,
     g: Graph,
-    emb0: jax.Array,
     key: jax.Array,
     B_bytes: bytes,
     parents: tuple[int, ...],
@@ -146,49 +144,42 @@ def reconstruct_network(
 ):
     """Chain-sample ``recons_iter`` patches, code them all at once, and
     overlap-average onto the node-pair grid. Returns
-    ``(recon_weights, overlap_count, emb)`` — dense (N, N) arrays; the
+    ``(recon_weights, overlap_count)`` — dense (N, N) arrays; the
     rounded simple graph is ``(recon_weights.round() > 0) & (count > 0)``.
 
-    ``num_chains > 1`` runs an ensemble of independent chains (each
-    tree-grown from a random pivot) contributing ``recons_iter /
-    num_chains`` patches each — chains are sequential by definition, so
-    the ensemble is the TPU way to cut the wall-clock of a long
-    reconstruction chain (the reference runs one chain for up to 1e5
-    steps, ``network_reconstruction_nx.py:601``).
+    Every chain starts fresh from a uniform random pivot, exactly as the
+    reference does (``network_reconstruction_nx.py:458-463``).
+    ``num_chains > 1`` runs an ensemble of independent chains
+    contributing ``recons_iter / num_chains`` patches each — chains are
+    sequential by definition, so the ensemble is the TPU way to cut the
+    wall-clock of a long reconstruction chain (the reference runs one
+    chain for up to 1e5 steps, ``network_reconstruction_nx.py:601``).
     """
-    k = emb0.shape[0]
+    k = len(parents) + 1
     ck, hk = jax.random.split(key)
+    B = np.frombuffer(B_bytes, dtype=np.int8).reshape(k, -1)
 
     def step(emb, kk):
-        from onmf_ontf_ndl_tpu.samplers.motif import (
-            glauber_update, pivot_update)
-        B = np.frombuffer(B_bytes, dtype=np.int8).reshape(k, -1)
         if use_glauber:
             emb = glauber_update(kk, B, parents, g, emb)
         else:
             emb = pivot_update(kk, B, parents, g, emb)
         return emb, emb
 
-    if num_chains <= 1:
-        keys = jax.random.split(ck, recons_iter)
-        emb, embs = lax.scan(step, emb0, keys)      # embs: (P, k)
-    else:
-        from onmf_ontf_ndl_tpu.samplers.motif import tree_sample
+    chains = max(1, num_chains)
+    per = -(-recons_iter // chains)
+    recons_iter = per * chains
+    ck, pk, tk = jax.random.split(ck, 3)
+    pivots = jax.random.randint(pk, (chains,), 0, g.num_nodes)
+    emb0s = jax.vmap(lambda kk, x: tree_sample(kk, parents, g, x))(
+        jax.random.split(tk, chains), pivots)
 
-        per = -(-recons_iter // num_chains)
-        recons_iter = per * num_chains
-        ck, pk, tk = jax.random.split(ck, 3)
-        pivots = jax.random.randint(pk, (num_chains,), 0, g.num_nodes)
-        emb0s = jax.vmap(lambda kk, x: tree_sample(kk, parents, g, x))(
-            jax.random.split(tk, num_chains), pivots)
+    def run_chain(kk, e0):
+        return lax.scan(step, e0, jax.random.split(kk, per))
 
-        def run_chain(kk, e0):
-            return lax.scan(step, e0, jax.random.split(kk, per))
-
-        embf, embs = jax.vmap(run_chain)(
-            jax.random.split(ck, num_chains), emb0s)  # (C, per, k)
-        embs = embs.reshape(num_chains * per, k)
-        emb = embf[0]
+    _, embs = jax.vmap(run_chain)(
+        jax.random.split(ck, chains), emb0s)          # (C, per, k)
+    embs = embs.reshape(chains * per, k)
 
     if weighted:
         if getattr(g, "weight", None) is None:
@@ -196,8 +187,6 @@ def reconstruct_network(
         X = g.weight[embs[:, :, None], embs[:, None, :]].reshape(
             recons_iter, k * k).astype(W.dtype).T
     else:
-        from onmf_ontf_ndl_tpu.samplers.motif import _pair_matrix
-
         X = jax.vmap(lambda e: _pair_matrix(g, e))(embs).reshape(
             recons_iter, k * k).astype(W.dtype).T
 
@@ -213,7 +202,7 @@ def reconstruct_network(
     acc = jnp.zeros((n, n), W.dtype).at[rows, cols].add(vals)
     cnt = jnp.zeros((n, n), W.dtype).at[rows, cols].add(1.0)
     recon = acc / jnp.maximum(cnt, 1.0)
-    return recon, cnt, emb
+    return recon, cnt
 
 
 class NetworkReconstructor:
@@ -318,9 +307,8 @@ class NetworkReconstructor:
         (N, N) matrix (``reconstruct_network``, ``:444-511``).
         ``num_chains > 1`` splits the work over an ensemble of chains."""
         self.key, rk = jax.random.split(self.key)
-        emb0 = self.emb[0] if self.num_chains > 1 else self.emb
-        recon, cnt, _ = reconstruct_network(
-            self.state.W, self.G, emb0, rk, self._B_bytes, self._parents,
+        recon, cnt = reconstruct_network(
+            self.state.W, self.G, rk, self._B_bytes, self._parents,
             recons_iter=recons_iter, alpha=alpha,
             use_glauber=self.is_glauber_recons,
             weighted=self.weighted_patches, num_chains=num_chains,

@@ -80,22 +80,20 @@ def graph_from_edgelist(edges, num_nodes: int | None = None) -> Graph:
     Node labels may be arbitrary ints; indices are assigned by first
     appearance (networkx ``Graph(edgelist)`` ordering, matching the
     reference ingest at ``network_reconstruction_nx.py:50-54``).
+    ``num_nodes`` may only pad with extra isolated nodes (labeled by
+    their index); fewer nodes than distinct labels is an error.
     """
-    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
-    order: dict[int, int] = {}
-    for a, b in edges:
-        if int(a) not in order:
-            order[int(a)] = len(order)
-        if int(b) not in order:
-            order[int(b)] = len(order)
-    node_ids = np.array(list(order.keys()), dtype=np.int64)
-    n = num_nodes or len(order)
+    e, node_ids = _intern_edges(edges)
+    n = len(node_ids) if num_nodes is None else int(num_nodes)
+    if n < len(node_ids):
+        raise ValueError(
+            f"num_nodes={n} < {len(node_ids)} distinct labels")
+    if n > len(node_ids):
+        node_ids = np.concatenate(
+            [node_ids, np.arange(len(node_ids), n, dtype=np.int64)])
     adj = np.zeros((n, n), bool)
-    for a, b in edges:
-        ia, ib = order[int(a)], order[int(b)]
-        if ia != ib:
-            adj[ia, ib] = True
-            adj[ib, ia] = True
+    adj[e[:, 0], e[:, 1]] = True
+    adj[e[:, 1], e[:, 0]] = True
     return _build(adj, None, node_ids)
 
 
@@ -174,8 +172,9 @@ class BitsetGraph:
 
 
 def _intern_edges(edges):
-    """First-appearance node interning; returns (E,2) int arrays of
-    indices, deduped and self-loop-free, plus node_ids."""
+    """First-appearance node interning (the shared load-bearing ordering
+    invariant for both graph representations); returns deduped,
+    self-loop-free (E, 2) index pairs plus node_ids."""
     edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
     order: dict[int, int] = {}
     for a, b in edges:
@@ -184,8 +183,7 @@ def _intern_edges(edges):
         if int(b) not in order:
             order[int(b)] = len(order)
     node_ids = np.fromiter(order.keys(), dtype=np.int64, count=len(order))
-    lut = {k: v for k, v in order.items()}
-    e = np.array([(lut[int(a)], lut[int(b)]) for a, b in edges],
+    e = np.array([(order[int(a)], order[int(b)]) for a, b in edges],
                  dtype=np.int64).reshape(-1, 2)
     e = e[e[:, 0] != e[:, 1]]
     lo = np.minimum(e[:, 0], e[:, 1])

@@ -107,7 +107,7 @@ def onmf_step(
     static_argnames=(
         "iterations", "batch_size", "subsample", "sub_iter",
         "use_stopping", "track_code", "dict_from", "backend",
-        "track_metrics",
+        "track_metrics", "psum_axis",
     ),
 )
 def _train_scan(
@@ -126,6 +126,7 @@ def _train_scan(
     dict_from: str,
     backend: str = "xla",
     track_metrics: bool = False,
+    psum_axis: str | None = None,
 ):
     n = X.shape[1]
     r = state.r
@@ -135,6 +136,11 @@ def _train_scan(
         st, code = carry
         key, skey, hkey = jax.random.split(st.key, 3)
         st = dataclasses.replace(st, key=key)
+        if psum_axis is not None:
+            # replicated key -> per-device subsample/H0 streams
+            me = lax.axis_index(psum_axis)
+            skey = jax.random.fold_in(skey, me)
+            hkey = jax.random.fold_in(hkey, me)
         if subsample:
             idx = jax.random.randint(skey, (batch_size,), 0, n)
         else:
@@ -144,6 +150,7 @@ def _train_scan(
         st, H = _step_inner(
             st, Xb, t0 + jnp.asarray(i, X.dtype), H0, alpha, beta,
             sub_iter, use_stopping, stopping_diff, dict_from, backend,
+            psum_axis,
         )
         if track_code:
             code = code.at[:, idx].add(H)
@@ -171,7 +178,7 @@ def _train_scan(
 
 def _step_inner(
     st, Xb, t, H0, alpha, beta, sub_iter, use_stopping, stopping_diff,
-    dict_from, backend="xla",
+    dict_from, backend="xla", psum_axis=None,
 ):
     """onmf_step with the stopping rule threaded as a traced value.
 
@@ -180,6 +187,11 @@ def _step_inner(
     (ops/pallas/coder_kernel.py); numerics agree with the XLA path to
     float32 accumulation-order tolerance (~1e-3 relative after 10
     ReLU-thresholded sweeps).
+
+    psum_axis: when running inside shard_map with the batch columns
+    sharded over that mesh axis, the sufficient statistics are psum'd so
+    the step equals the single-device step on the concatenated batch
+    (the aggregates are linear in the samples; parallel/dp.py).
     """
     W, A, B, C = st.W, st.A, st.B, st.C
     use_pallas = backend == "pallas" and not use_stopping
@@ -202,9 +214,16 @@ def _step_inner(
             )
     with jax.named_scope("onmf.aggregates"):
         w_t = t ** (-jnp.asarray(beta, W.dtype))
-        A1 = (1.0 - w_t) * A + w_t * (H @ H.T)
-        B1 = (1.0 - w_t) * B + w_t * (H @ Xb.T)
-        C1 = (1.0 - w_t) * C + w_t * (Xb @ Xb.T) if st.tracks_xxt else C
+        hht = H @ H.T
+        hxt = H @ Xb.T
+        xxt = Xb @ Xb.T if st.tracks_xxt else None
+        if psum_axis is not None:
+            hht = lax.psum(hht, psum_axis)
+            hxt = lax.psum(hxt, psum_axis)
+            xxt = lax.psum(xxt, psum_axis) if xxt is not None else None
+        A1 = (1.0 - w_t) * A + w_t * hht
+        B1 = (1.0 - w_t) * B + w_t * hxt
+        C1 = (1.0 - w_t) * C + w_t * xxt if st.tracks_xxt else C
     A_u, B_u = (A, B) if dict_from == "stale" else (A1, B1)
     with jax.named_scope("onmf.dict_update"):
         if use_pallas:

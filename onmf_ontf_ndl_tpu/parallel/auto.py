@@ -21,8 +21,9 @@ __all__ = ["shard_state", "auto_train_dict"]
 def shard_state(mesh: Mesh, state: OnmfState, *,
                 tp_axis: str | None = None) -> OnmfState:
     """Place the state on the mesh: replicated by default; with
-    ``tp_axis`` the dictionary columns (and the matching B rows / A tiles)
-    are sharded over that axis."""
+    ``tp_axis`` the dictionary columns and the matching B rows are
+    sharded over that axis (A stays replicated — it is only r x r and is
+    consumed whole by every column update)."""
     rep = NamedSharding(mesh, P())
     if tp_axis is None:
         put = lambda x: jax.device_put(x, rep)

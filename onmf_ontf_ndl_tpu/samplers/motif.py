@@ -62,12 +62,17 @@ def path_adj(k1: int, k2: int) -> np.ndarray:
 def tree_parents(B: np.ndarray) -> tuple[int, ...]:
     """Parent of each non-root motif node under depth-first ordering:
     the minimum in-neighbor index (``find_parent``,
-    ``network_reconstruction_nx.py:100-106``). Host-side/static."""
+    ``network_reconstruction_nx.py:100-106``). Host-side/static.
+
+    A node with no in-neighbor gets parent ``-1``, meaning "embed as a
+    uniform random node" — the reference's edgeless-motif branch
+    (``tree_sample``, ``:119-122``) generalized per node (the reference
+    itself would crash on a partially rooted motif)."""
     B = np.asarray(B)
     parents = []
     for i in range(1, B.shape[0]):
         js = np.flatnonzero(B[:, i] == 1)
-        parents.append(int(js.min()) if len(js) else 0)
+        parents.append(int(js.min()) if len(js) else -1)
     return tuple(parents)
 
 
@@ -124,7 +129,12 @@ def tree_sample(key: jax.Array, parents: tuple[int, ...], g,
     emb = jnp.zeros((k,), jnp.int32).at[0].set(jnp.asarray(x, jnp.int32))
     keys = jax.random.split(key, max(k - 1, 1))
     for i in range(1, k):
-        y = _uniform_neighbor(keys[i - 1], g, emb[parents[i - 1]])
+        if parents[i - 1] < 0:
+            # parentless motif node: uniform over all nodes (reference
+            # edgeless branch, network_reconstruction_nx.py:119-122)
+            y = jax.random.randint(keys[i - 1], (), 0, g.num_nodes)
+        else:
+            y = _uniform_neighbor(keys[i - 1], g, emb[parents[i - 1]])
         emb = emb.at[i].set(jnp.asarray(y, jnp.int32))
     return emb
 
@@ -220,6 +230,19 @@ def sample_patches(key: jax.Array, g: Graph, emb0: jax.Array, B: np.ndarray,
                            bool(use_glauber), bool(weighted))
 
 
+def _sample_patches_ensemble_impl(key, g, emb0s, B_bytes, parents, per,
+                                  use_glauber, weighted):
+    """Shared ensemble body: (C, k) embeddings, per steps each ->
+    ((k^2, C*per) patches, (C, k) final embeddings)."""
+    chains = emb0s.shape[0]
+    Xs, embs = jax.vmap(
+        lambda kk, e: _sample_patches(kk, g, e, B_bytes, parents, int(per),
+                                      bool(use_glauber), bool(weighted))
+    )(jax.random.split(key, chains), emb0s)
+    k2 = Xs.shape[1]
+    return jnp.moveaxis(Xs, 1, 0).reshape(k2, -1), embs
+
+
 def sample_patches_ensemble(key: jax.Array, g: Graph, emb0: jax.Array,
                             B: np.ndarray, num: int, *,
                             use_glauber: bool = True,
@@ -227,13 +250,7 @@ def sample_patches_ensemble(key: jax.Array, g: Graph, emb0: jax.Array,
     """Vmapped chain ensemble: ``emb0`` is (C, k); returns
     ``(X, embs)`` with X of shape (k^2, C*num) — C chains advanced
     ``num`` steps each. The TPU-scale replacement for one long chain."""
-    chains = emb0.shape[0]
-    keys = jax.random.split(key, chains)
     parents = tree_parents(B)
     B_bytes = np.asarray(B, np.int8).tobytes()
-    Xs, embs = jax.vmap(
-        lambda k, e: _sample_patches(k, g, e, B_bytes, parents, int(num),
-                                     bool(use_glauber), bool(weighted))
-    )(keys, emb0)
-    k2 = Xs.shape[1]
-    return jnp.moveaxis(Xs, 1, 0).reshape(k2, -1), embs
+    return _sample_patches_ensemble_impl(key, g, emb0, B_bytes, parents,
+                                         num, use_glauber, weighted)

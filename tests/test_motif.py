@@ -198,3 +198,26 @@ def test_bitset_glauber_law_matches_dense():
         jax.random.split(jax.random.key(3), reps))
     # identical keys + identical conditional law => identical draws
     np.testing.assert_array_equal(np.asarray(outs_d), np.asarray(outs_b))
+
+
+def test_edgeless_motif_embeds_uniformly():
+    # reference tree_sample: an edgeless motif embeds k-1 uniform nodes
+    g = torus_graph(4)
+    B = np.zeros((3, 3), int)
+    parents = tree_parents(B)
+    assert parents == (-1, -1)
+    reps = 8000
+    outs = jax.vmap(
+        lambda k: tree_sample(k, parents, g, jnp.int32(0))
+    )(jax.random.split(jax.random.key(9), reps))
+    counts = np.bincount(np.asarray(outs)[:, 1], minlength=16) / reps
+    assert np.abs(counts - 1 / 16).max() < 0.02  # uniform over ALL nodes
+
+
+def test_graph_num_nodes_padding():
+    import pytest
+    g = graph_from_edgelist([[0, 1], [1, 2]], num_nodes=5)
+    assert g.num_nodes == 5 and len(g.node_ids) == 5
+    assert np.asarray(g.deg)[3:].tolist() == [0, 0]
+    with pytest.raises(ValueError, match="distinct labels"):
+        graph_from_edgelist([[0, 7]], num_nodes=1)

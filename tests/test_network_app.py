@@ -128,3 +128,30 @@ def test_bitset_accuracy_method():
     rec.reconstruct_network(recons_iter=1000)
     acc = rec.compute_recons_accuracy()
     assert 0.0 <= acc <= 1.0
+
+
+def test_weighted_wan_reconstruction():
+    # weighted patches + weighted reconstruction path: the recon matrix
+    # approximates the normalized weight matrix on visited pairs
+    rng = np.random.default_rng(31)
+    n = 40
+    Wts = np.triu(rng.random((n, n)) * (rng.random((n, n)) < 0.2), 1)
+    A = Wts + Wts.T
+    from onmf_ontf_ndl_tpu.data.graphs import graph_from_adjacency
+    g = graph_from_adjacency(A, normalize=True)
+    rec = NetworkReconstructor(
+        source=g, n_components=9, MCMC_iterations=5, sub_iterations=8,
+        sample_size=64, batch_size=16, k1=0, k2=1, weighted_patches=True,
+        is_glauber_recons=False, dtype=jnp.float64,
+    )
+    rec.train_dict()
+    rec.reconstruct_network(recons_iter=2000)
+    r = np.asarray(rec.recon_weights)
+    wt = np.asarray(g.weight)
+    visited = np.asarray(rec.recon_weights) > 0
+    # on visited true edges the reconstructed weights should correlate
+    # with the normalized WAN weights
+    mask = (wt > 0) & visited
+    if mask.sum() > 10:
+        corr = np.corrcoef(r[mask], wt[mask])[0, 1]
+        assert corr > 0.2, corr
