@@ -58,10 +58,14 @@ def _sweep(H, A, B, alpha, rsqrt_i):
 def _sweep_radius(H, H_anchor, A, B, alpha, rsqrt_i, radius):
     """Sweep with a spectral trust region of ``radius`` re-anchored per row.
 
-    Mirrors the reference's in-loop projection: after every row update the
-    full iterate is pulled back to within ``radius`` (2-norm) of the anchor,
-    and the anchor is rebased to the projected iterate
-    (``/root/reference/src/onmf.py:260-263``).
+    Mirrors the reference's *intended* in-loop projection: after every
+    row update the full iterate is pulled back to within ``radius``
+    (2-norm) of the anchor, and the anchor is rebased to the projected
+    iterate (``/root/reference/src/onmf.py:260-263``). Deviation note:
+    the reference's re-anchor ``H0 = H1`` aliases the two arrays, which
+    silently disables the projection after the first row update; we
+    re-anchor by value so the trust region actually constrains every row
+    (PARITY.md deviation #7).
     """
     r = A.shape[0]
 

@@ -155,3 +155,15 @@ def test_pallas_sampler_option_requires_tpu():
     )
     _, stack, errors = rec.ising_mcmc_learning()
     assert stack.shape[0] == 2
+
+
+def test_keep_trajectory_flag():
+    rec = IsingReconstructor(
+        n_components=4, lattice_size=8, ising_iterations=3,
+        temperature=2.0, ising_subsampling_steps=64, sub_iterations=3,
+        num_patches=10, batch_size=5, patch_size=3, dtype=jnp.float64,
+    )
+    traj, _, _ = rec.ising_mcmc_learning(keep_trajectory=True)
+    assert traj.shape == (3, 8, 8)
+    vals = set(np.unique(np.asarray(traj)))
+    assert vals.issubset({-1.0, 1.0, -1, 1})

@@ -97,3 +97,35 @@ def test_step_matches_reference_step(ref_onmf):
     np.testing.assert_allclose(np.asarray(st1.A), aggs_w[0], rtol=1e-8)
     np.testing.assert_allclose(np.asarray(st1.B), aggs_w[1], rtol=1e-8)
     np.testing.assert_allclose(np.asarray(st1.W), W_w, rtol=1e-8)
+
+
+def test_reference_radius_branch_is_aliased_noop(ref_onmf):
+    """Documents a reference bug our implementation deliberately fixes:
+    in ``update_code_within_radius`` the re-anchor ``H0 = H1``
+    (src/onmf.py:263) ALIASES the arrays, so from the second row update
+    on, ``np.linalg.norm(H1 - H0, 2)`` is identically zero and the trust
+    region never projects again. Our functional implementation re-anchors
+    by value, applying the projection per row (PARITY.md deviation #7)."""
+    W = RNG.random((24, 6))
+    X = RNG.random((24, 8))
+    H0 = RNG.random((6, 8))
+    from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
+
+    # stopping_diff=-1 forces exactly sub_iter sweeps (the reference's
+    # initial dist=1 must stay above the threshold)
+    radius = 1e-6
+    with_radius = ref_onmf.update_code_within_radius(
+        X.copy(), W.copy(), H0=H0.copy(), r=radius, alpha=0.3,
+        sub_iter=3, stopping_diff=-1)
+    # a WORKING re-anchored trust region can drift at most
+    # sweeps * rows * radius from H0; the reference drifts ~0.9 because
+    # the aliasing makes every projection after the first a no-op:
+    bound = 3 * H0.shape[0] * radius
+    moved_ref = np.abs(with_radius - H0).max()
+    assert moved_ref > 1000 * bound, moved_ref
+
+    got = nonneg_code(jnp.asarray(X), jnp.asarray(W), jnp.asarray(H0),
+                      alpha=0.3, sub_iter=3, stopping_diff=None,
+                      radius=radius, backend="xla")
+    moved_ours = float(np.abs(np.asarray(got) - H0).max())
+    assert moved_ours <= 10 * bound, moved_ours
