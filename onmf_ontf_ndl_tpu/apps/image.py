@@ -247,6 +247,16 @@ class ImageReconstructor:
         )
         return self.state.W
 
+    def display_dictionary(self, W=None, save_path: str | None = None,
+                           show: bool = False):
+        """Dictionary patch grid (``display_dictionary``,
+        ``image_reconstruction.py:237-260``)."""
+        from onmf_ontf_ndl_tpu.utils.viz import display_dictionary
+
+        return display_dictionary(
+            W if W is not None else self.W, self.patch_size,
+            is_color=self.is_color, save_path=save_path, show=show)
+
     def reconstruct_image_color(self, path: str | None = None, data=None,
                                 recons_resolution: int = 1, alpha: float = 1.0):
         """Color reconstruction on a strided grid

@@ -319,6 +319,26 @@ class NetworkReconstructor:
         self.G_recons = simple
         return simple
 
+    def label_of(self, index: int):
+        """Array index -> original node label (``np2nx``,
+        ``network_reconstruction_nx.py:74-78``)."""
+        return self.G.node_ids[int(index)]
+
+    def index_of(self, label) -> int:
+        """Original node label -> array index (``nx2np``, ``:80-84``)."""
+        return self.G.node_ids.index(label)
+
+    def display_dict(self, title: str = "", save_filename: str | None = None,
+                     show: bool = False):
+        """Motif-dictionary grid (``display_dict``,
+        ``network_reconstruction_nx.py:393-419``)."""
+        from onmf_ontf_ndl_tpu.utils.viz import display_network_dictionary
+
+        k = self.k1 + self.k2 + 1
+        return display_network_dictionary(
+            self.W, k, title=title or None, save_path=save_filename,
+            show=show)
+
     def show_cov(self, save_path=None, show=False):
         """Trace-normalized covariance of the accumulated code matrix
         (``show_cov``, ``network_reconstruction_nx.py:429-442``)."""

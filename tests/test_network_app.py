@@ -155,3 +155,17 @@ def test_weighted_wan_reconstruction():
     if mask.sum() > 10:
         corr = np.corrcoef(r[mask], wt[mask])[0, 1]
         assert corr > 0.2, corr
+
+
+def test_label_index_mapping_and_display(tmp_path):
+    import os
+    from onmf_ontf_ndl_tpu.data.graphs import graph_from_edgelist
+
+    g = graph_from_edgelist([[7, 3], [3, 9], [9, 7]])
+    rec = NetworkReconstructor(source=g, n_components=4, MCMC_iterations=2,
+                               sub_iterations=3, sample_size=20,
+                               batch_size=5, k1=0, k2=1, dtype=jnp.float64)
+    assert rec.label_of(0) == 7 and rec.index_of(9) == 2
+    rec.train_dict()
+    p = rec.display_dict("t", save_filename=str(tmp_path / "d.png"))
+    assert os.path.getsize(p) > 0
