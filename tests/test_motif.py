@@ -221,3 +221,17 @@ def test_graph_num_nodes_padding():
     assert np.asarray(g.deg)[3:].tolist() == [0, 0]
     with pytest.raises(ValueError, match="distinct labels"):
         graph_from_edgelist([[0, 7]], num_nodes=1)
+
+
+def test_bitset_loader_on_reference_facebook():
+    import os
+    import pytest
+    path = "/root/reference/Data/Networks/facebook_combined.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference data not mounted")
+    from onmf_ontf_ndl_tpu.data.graphs import load_edgelist_bitset
+
+    g = load_edgelist_bitset(path)
+    assert g.num_nodes == 4039
+    assert g.num_edges == 88234
+    assert g.bits.shape == (4039, (4039 + 31) // 32)
