@@ -47,6 +47,7 @@ __all__ = ["ImageReconstructor", "train_image_dict", "reconstruct"]
     static_argnames=(
         "outer_iterations", "num_patches", "inner_iterations", "batch_size",
         "patch_size", "sub_iter", "use_stopping", "dict_from", "backend",
+        "subsample",
     ),
     donate_argnums=(0,),
 )
@@ -66,6 +67,7 @@ def train_image_dict(
     stopping_diff: float = 0.01,
     dict_from: str = "stale",
     backend: str = "xla",
+    subsample: bool = False,
 ) -> OnmfState:
     """Fused streaming trainer: outer scan samples patches, inner scan runs
     online-NMF steps; mirrors the two-level loop of
@@ -84,7 +86,7 @@ def train_image_dict(
         X = extract_patches(img, corners, k)
         st, _, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
-            inner_iterations, batch_size, True, sub_iter,
+            inner_iterations, batch_size, subsample, sub_iter,
             use_stopping, False, dict_from, backend=backend,
         )
         return st, None
@@ -159,6 +161,7 @@ class ImageReconstructor:
         alpha: float | None = None,
         beta: float | None = None,
         fast: bool = False,
+        subsample: bool = False,
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -177,8 +180,13 @@ class ImageReconstructor:
                                   is_color=is_color, dtype=dtype)
         self.data = jnp.asarray(data, dtype)
         self.is_stack = is_stack
-        if is_stack and self.data.ndim != 3:
-            raise ValueError("is_stack expects a (m, H, W) array")
+        if is_stack:
+            if self.data.ndim != 3:
+                raise ValueError("is_stack expects a (m, H, W) array")
+            # matrix stacks are grayscale by construction (the reference's
+            # stack path handles +-1 matrices); the dictionary dim is k^2
+            is_color = False
+            self.is_color = False
         self.path = path
         self.n_components = n_components
         self.iterations = iterations
@@ -192,6 +200,7 @@ class ImageReconstructor:
         self.alpha = 0.0 if alpha is None else float(alpha)
         self.beta = 1.0 if beta is None else float(beta)
         self.fast = fast
+        self.subsample = subsample
         self.dtype = dtype
 
         d = (3 if is_color else 1) * patch_size**2
@@ -212,8 +221,10 @@ class ImageReconstructor:
         """Run the full streaming training; returns the dictionary (d, r).
 
         With ``is_stack=True`` the outer loop streams over the stacked
-        matrices (one warm-started round per frame), the stack analogue of
-        the reference's ``read_patches_stack`` path
+        matrices (one warm-started round per frame,
+        ``epochs = max(1, iterations // n_frames)`` passes — i.e.
+        ``iterations`` approximates the TOTAL number of rounds), the stack
+        analogue of the reference's ``read_patches_stack`` path
         (``image_reconstruction.py:106-115,208-229``)."""
         if self.is_stack:
             from onmf_ontf_ndl_tpu.apps.video import train_video_dict
@@ -244,6 +255,7 @@ class ImageReconstructor:
             alpha=self.alpha, beta=self.beta,
             use_stopping=not self.fast,
             backend=resolve_backend("auto", not self.fast),
+            subsample=self.subsample,
         )
         return self.state.W
 
@@ -273,9 +285,13 @@ class ImageReconstructor:
 
     def reconstruct_image(self, path: str | None = None, data=None,
                           downscale_factor: int | None = None,
-                          patch_size: int | None = None):
+                          patch_size: int | None = None,
+                          alpha: float = 0.0):
         """Grayscale full-grid reconstruction
-        (``/root/reference/image_reconstruction.py:340-356``)."""
+        (``/root/reference/image_reconstruction.py:340-356``). The coder
+        runs with ``alpha=0`` regardless of the training alpha — the
+        reference builds a fresh ``Online_NMF`` with alpha defaulting to None -> 0
+        for this path (``:349-350``)."""
         if downscale_factor is None:
             downscale_factor = self.downscale_factor
         k = patch_size or self.patch_size
@@ -287,6 +303,6 @@ class ImageReconstructor:
         key = jax.random.key(17)
         self.A_recons = reconstruct(
             data, self.state.W, key, patch_size=k,
-            alpha=self.alpha, full_grid=True,
+            alpha=alpha, full_grid=True,
         )
         return self.A_recons

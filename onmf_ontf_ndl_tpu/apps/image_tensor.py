@@ -31,6 +31,7 @@ from jax import lax
 from onmf_ontf_ndl_tpu.data.images import load_image
 from onmf_ontf_ndl_tpu.models.onmf import _train_scan
 from onmf_ontf_ndl_tpu.models.state import init_state
+from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend as _resolve_backend
 from onmf_ontf_ndl_tpu.ops.patches import extract_patches, random_patch_corners
 from onmf_ontf_ndl_tpu.ops.unfold import unfold
 
@@ -54,6 +55,7 @@ def unfolded_dim(k: int, num_patches: int, mode: int, joint: bool) -> int:
     static_argnames=(
         "outer_iterations", "num_patches", "inner_iterations", "batch_size",
         "patch_size", "mode", "joint", "sub_iter", "use_stopping", "backend",
+        "subsample",
     ),
     donate_argnums=(0,),
 )
@@ -63,6 +65,7 @@ def _train_tensor(
     batch_size: int, patch_size: int, mode: int, joint: bool,
     alpha: float, beta: float, sub_iter: int, stopping_diff: float = 0.01,
     use_stopping: bool = True, backend: str = "xla",
+    subsample: bool = True,
 ):
     k = patch_size
     alpha_t = jnp.asarray(alpha, img.dtype)
@@ -81,7 +84,7 @@ def _train_tensor(
         dummy_code = jnp.zeros((st.r, Xu.shape[1]), img.dtype)
         st, _, _ = _train_scan(
             st, Xu, dummy_code, alpha_t, beta_t, sd_t,
-            inner_iterations, batch_size, True, sub_iter,
+            inner_iterations, batch_size, subsample, sub_iter,
             use_stopping, False, "stale", backend=backend,
         )
         return st, None
@@ -160,9 +163,7 @@ class ImageReconstructorTensor:
             alpha=self.alpha, beta=self.beta,
             sub_iter=self.block_iterations,
             use_stopping=not self.fast,
-            backend=__import__("onmf_ontf_ndl_tpu.ops.pallas",
-                               fromlist=["resolve_backend"]
-                               ).resolve_backend("auto", not self.fast),
+            backend=_resolve_backend("auto", not self.fast),
         )
         self.W = self.state.W
         return self.W

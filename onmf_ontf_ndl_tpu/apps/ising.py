@@ -37,6 +37,7 @@ from jax import lax
 
 from onmf_ontf_ndl_tpu.models.onmf import _train_scan
 from onmf_ontf_ndl_tpu.models.state import OnmfState, init_state
+from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend as _resolve_backend
 from onmf_ontf_ndl_tpu.ops.patches import extract_patches, random_patch_corners
 from onmf_ontf_ndl_tpu.samplers.ising import (
     checkerboard_sweeps,
@@ -54,6 +55,7 @@ __all__ = ["IsingReconstructor", "ising_trajectory_learning"]
         "ising_iterations", "nsteps", "num_patches", "inner_iterations",
         "batch_size", "patch_size", "sampler", "update_lattice",
         "sub_iter", "keep_trajectory", "use_stopping", "backend",
+        "subsample",
     ),
 )
 def ising_trajectory_learning(
@@ -79,6 +81,7 @@ def ising_trajectory_learning(
     keep_trajectory: bool = False,
     use_stopping: bool = True,
     backend: str = "xla",
+    subsample: bool = False,
 ):
     """Fused trajectory learner. Returns
     ``(state, dict_stack, errors, lattice, trajectory)`` where
@@ -97,7 +100,7 @@ def ising_trajectory_learning(
         X = extract_patches(lat.astype(st.W.dtype), corners, k)
         st, _, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
-            inner_iterations, batch_size, True, sub_iter,
+            inner_iterations, batch_size, subsample, sub_iter,
             use_stopping, False, "stale", backend=backend,
         )
         return st
@@ -164,6 +167,7 @@ class IsingReconstructor:
         sampler: str = "checkerboard",
         update_lattice: bool = True,
         fast: bool = False,
+        subsample: bool = False,
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -187,6 +191,7 @@ class IsingReconstructor:
         self.sampler = sampler
         self.update_lattice = update_lattice
         self.fast = fast
+        self.subsample = subsample
         self.dtype = dtype
         key = jax.random.key(seed)
         self.key, lkey, skey = jax.random.split(key, 3)
@@ -223,9 +228,8 @@ class IsingReconstructor:
             sampler=self.sampler, update_lattice=self.update_lattice,
             keep_trajectory=keep_trajectory,
             use_stopping=not self.fast,
-            backend=__import__("onmf_ontf_ndl_tpu.ops.pallas",
-                               fromlist=["resolve_backend"]
-                               ).resolve_backend("auto", not self.fast),
+            backend=_resolve_backend("auto", not self.fast),
+            subsample=self.subsample,
         )
         self.W = self.dict_stack[-1]
         return traj, self.dict_stack, self.errors

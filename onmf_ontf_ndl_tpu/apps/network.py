@@ -57,7 +57,7 @@ __all__ = ["NetworkReconstructor", "ndl_train", "reconstruct_network"]
     static_argnames=(
         "B_bytes", "parents", "mcmc_iterations", "sample_size",
         "inner_iterations", "batch_size", "use_glauber", "weighted",
-        "sub_iter", "use_stopping", "backend", "num_chains",
+        "sub_iter", "use_stopping", "backend", "num_chains", "subsample",
     ),
 )
 def ndl_train(
@@ -80,6 +80,7 @@ def ndl_train(
     use_stopping: bool = True,
     backend: str = "xla",
     num_chains: int = 1,
+    subsample: bool = False,
 ):
     """Fused NDL trainer. Returns ``(state, code, emb)`` where code is the
     accumulated (r, sample_size) code matrix.
@@ -113,7 +114,7 @@ def ndl_train(
         X, emb = sample(ck, emb)
         st, code, _ = _train_scan(
             st, X.astype(dtype), code, alpha_t, beta_t, sd_t,
-            inner_iterations, batch_size, True, sub_iter,
+            inner_iterations, batch_size, subsample, sub_iter,
             use_stopping, True, "stale", backend=backend,
         )
         return (st, emb, code), None
@@ -227,6 +228,7 @@ class NetworkReconstructor:
         weighted_patches: bool = False,
         fast: bool = False,
         num_chains: int = 1,
+        subsample: bool = False,
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -251,6 +253,7 @@ class NetworkReconstructor:
         # fast=True: fixed coder sweeps (no spectral-norm stopping),
         # routed to the Pallas kernels on TPU
         self.fast = fast
+        self.subsample = subsample
         self.dtype = dtype
 
         self.num_chains = max(1, int(num_chains))
@@ -298,6 +301,7 @@ class NetworkReconstructor:
             use_stopping=not self.fast,
             backend=resolve_backend("auto", not self.fast),
             num_chains=self.num_chains,
+            subsample=self.subsample,
         )
         return self.state.W
 

@@ -21,6 +21,7 @@ from jax import lax
 from onmf_ontf_ndl_tpu.data.video import load_video_frames
 from onmf_ontf_ndl_tpu.models.onmf import _train_scan
 from onmf_ontf_ndl_tpu.models.state import OnmfState, init_state
+from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend as _resolve_backend
 from onmf_ontf_ndl_tpu.ops.patches import extract_patches, random_patch_corners
 
 __all__ = ["VideoDictionaryLearner", "train_video_dict"]
@@ -30,7 +31,7 @@ __all__ = ["VideoDictionaryLearner", "train_video_dict"]
     jax.jit,
     static_argnames=(
         "num_patches", "inner_iterations", "batch_size", "patch_size",
-        "epochs", "sub_iter", "use_stopping", "backend",
+        "epochs", "sub_iter", "use_stopping", "backend", "subsample",
     ),
     donate_argnums=(0,),
 )
@@ -49,6 +50,7 @@ def train_video_dict(
     stopping_diff: float = 0.01,
     use_stopping: bool = True,
     backend: str = "xla",
+    subsample: bool = False,
 ) -> OnmfState:
     """Stream over frames (in order, ``epochs`` passes), one warm-started
     online-NMF round per frame."""
@@ -67,7 +69,7 @@ def train_video_dict(
         X = extract_patches(frame, corners, k)
         st, _, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
-            inner_iterations, batch_size, True, sub_iter,
+            inner_iterations, batch_size, subsample, sub_iter,
             use_stopping, False, "stale", backend=backend,
         )
         return st, None
@@ -131,9 +133,7 @@ class VideoDictionaryLearner:
             patch_size=self.patch_size,
             epochs=epochs, alpha=self.alpha, beta=self.beta,
             use_stopping=not self.fast,
-            backend=__import__("onmf_ontf_ndl_tpu.ops.pallas",
-                               fromlist=["resolve_backend"]
-                               ).resolve_backend("auto", not self.fast),
+            backend=_resolve_backend("auto", not self.fast),
         )
         return self.state.W
 

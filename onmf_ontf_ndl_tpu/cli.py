@@ -25,38 +25,39 @@ import time
 import numpy as np
 
 
+_UNSET = object()  # distinguishes "flag not given" from an explicit value
+
+
 def _add_fields(p: argparse.ArgumentParser, cfg_cls, skip=()):
     for f in dataclasses.fields(cfg_cls):
         if f.name in skip:
             continue
         # dest must be the exact dataclass field name (e.g. the flag
-        # --mcmc-iterations maps onto field MCMC_iterations)
+        # --mcmc-iterations maps onto field MCMC_iterations); the argparse
+        # default is a sentinel so an explicit "none" is honored
         flag = "--" + f.name.replace("_", "-").lower()
-        kw_dest = {"dest": f.name}
-        ftype = f.type if isinstance(f.type, type) else None
-        default = f.default
+        kw = {"dest": f.name, "default": _UNSET}
         if f.type in ("bool", bool):
             p.add_argument(flag, type=lambda s: s.lower() in ("1", "true", "yes"),
-                           default=default, **kw_dest)
+                           **kw)
         elif f.type in ("int", int):
-            p.add_argument(flag, type=int, default=default, **kw_dest)
+            p.add_argument(flag, type=int, **kw)
         elif f.type in ("float", float):
-            p.add_argument(flag, type=float, default=default, **kw_dest)
+            p.add_argument(flag, type=float, **kw)
         elif f.type in ("float | None", "int | None"):
             caster = float if "float" in str(f.type) else int
-            p.add_argument(flag, type=lambda s, c=caster: None if s == "none" else c(s),
-                           default=default, **kw_dest)
+            p.add_argument(flag,
+                           type=lambda s, c=caster: None if s == "none" else c(s),
+                           **kw)
         else:
-            p.add_argument(flag, type=str,
-                           default=None if default is dataclasses.MISSING else default,
-                           **kw_dest)
+            p.add_argument(flag, type=str, **kw)
 
 
 def _build_cfg(cfg_cls, args):
     kw = {}
     for f in dataclasses.fields(cfg_cls):
-        v = getattr(args, f.name, None)
-        if v is not None or f.default is None:
+        v = getattr(args, f.name, _UNSET)
+        if v is not _UNSET:
             kw[f.name] = v
     return cfg_cls(**kw)
 

@@ -309,7 +309,10 @@ class OnlineNMF:
         history: float = 0.0,
         alpha: float | None = None,
         beta: float | None = None,
-        subsample: bool = True,
+        # reference default: inner steps train on the FULL column matrix
+        # (src/onmf.py:32, subsample=False; batch_size only applies when
+        # subsampling is enabled)
+        subsample: bool = False,
         track_xxt: bool | None = None,
         sub_iter: int = 10,
         stopping_diff: float | None = 0.01,

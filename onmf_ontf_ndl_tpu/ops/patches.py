@@ -147,6 +147,8 @@ def extract_patches_grid(img: jax.Array, k: int, stride: int = 1,
     """
     from jax import lax
 
+    if inclusive:
+        stride = 1  # the full-coverage grid is stride-1 by definition
     squeeze = img.ndim == 2
     x = img[None, ..., None] if squeeze else img[None]
     C = x.shape[-1]
@@ -179,10 +181,15 @@ def overlap_average_grid(patch_values: jax.Array, k: int, stride: int,
     from jax import lax
     import numpy as np
 
+    if inclusive:
+        stride = 1  # must mirror extract_patches_grid
     H, W = out_shape[0], out_shape[1]
     C = out_shape[2] if len(out_shape) == 3 else 1
     ni, nj = _grid_counts(out_shape, k, stride, inclusive)
-    n = ni * nj
+    if patch_values.shape[1] != ni * nj:
+        raise ValueError(
+            f"expected {ni * nj} patches for this grid, got "
+            f"{patch_values.shape[1]}")
     vals = patch_values.T.reshape(ni, nj, k, k, C)
 
     acc = jnp.zeros((H, W, C), patch_values.dtype)

@@ -188,3 +188,28 @@ def test_partial_fit_streaming():
     assert nmf.history == t_prev + 5  # one schedule tick per batch
     W = np.asarray(nmf.state.W)
     assert (W >= 0).all()
+
+
+def test_online_nmf_default_full_batch():
+    # reference Online_NMF default: subsample=False -> inner steps use the
+    # FULL column matrix (src/onmf.py:32,206-214); replay against the
+    # oracle with full-batch indices
+    d, r, n = 20, 4, 12
+    st, W = make_state(d=d, r=r, seed=33)
+    X = RNG.random((d, n))
+    nmf = OnlineNMF(X, n_components=r, iterations=4, batch_size=5,
+                    ini_dict=W, ini_A=np.zeros((r, r)),
+                    ini_B=np.zeros((r, d)), dtype=jnp.float64)
+    assert nmf.subsample is False
+    W1, A1, B1, _, code = nmf.train_dict()
+
+    batches, H0s = _replay_rng(nmf.state.key, n, r, 1, 5, False)  # key moved
+    # replay from the ORIGINAL state key instead
+    from onmf_ontf_ndl_tpu.models.state import init_state
+    st0 = init_state(jax.random.key(0), d, r, dtype=jnp.float64, W=W,
+                     A=np.zeros((r, r)), B=np.zeros((r, d)))
+    # OnlineNMF used its own key(seed=0); replicate
+    batches, H0s = _replay_rng(st0.key, n, r, 4, 5, False)
+    Ww, Aw, Bw, _, codew, _ = train_oracle(X, W, 4, batches, H0s)
+    np.testing.assert_allclose(np.asarray(W1), Ww, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(code), codew, rtol=1e-8)
