@@ -37,6 +37,15 @@ def bench_image(data_dir, fast):
     t0 = time.time()
     W = rec.train_dict(); fence(W)
     train_s = time.time() - t0
+    # steady state: same shapes, compile cached, fresh state — robust to
+    # the remote compile service's variable latency
+    rec_b = ImageReconstructor(path=path, n_components=25, iterations=100,
+                               sub_iterations=10, num_patches=100,
+                               batch_size=32, patch_size=10, is_color=False,
+                               fast=fast, seed=1)
+    t0 = time.time()
+    Wb = rec_b.train_dict(); fence(Wb)
+    train_steady_s = time.time() - t0
     t0 = time.time()
     out = rec.reconstruct_image(path=path, downscale_factor=2)
     fence(out)
@@ -46,9 +55,11 @@ def bench_image(data_dir, fast):
     ref = downscale_local_mean(load_image(path, is_color=False), 2)
     err = float(np.linalg.norm(np.asarray(out) - np.asarray(ref))
                 / np.linalg.norm(np.asarray(ref)))
-    steps = 100 * 9 * 32
-    return {"train_s": round(train_s, 2), "recon_s": round(recon_s, 2),
-            "patches_per_s": round(steps / train_s),
+    steps = 100 * 9 * 100  # subsample=False: full num_patches per step
+    return {"train_s": round(train_s, 2),
+            "train_steady_s": round(train_steady_s, 3),
+            "recon_s": round(recon_s, 2),
+            "patches_per_s": round(steps / train_steady_s),
             "recon_rel_err": round(err, 4)}
 
 
