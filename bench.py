@@ -100,13 +100,17 @@ def measure_tpu(iters=200, stop=None):
 
     # warmup/compile; NOTE: block_until_ready is unreliable on the axon
     # remote backend — force a scalar host fetch to fence the computation.
+    # Timed as best-of-3 cached runs: the remote tunnel's dispatch/fetch
+    # latency drifts over long sessions and must not pollute the number.
     st = run(state, iters)
     float(jnp.sum(st.W))
-    t0 = time.perf_counter()
-    st = run(state, iters)
-    float(jnp.sum(st.W))
-    dt = time.perf_counter() - t0
-    return iters * TPU_BATCH / dt
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st = run(state, iters)
+        float(jnp.sum(st.W))
+        best = min(best, time.perf_counter() - t0)
+    return iters * TPU_BATCH / best
 
 
 def main():
