@@ -98,6 +98,16 @@ def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
     """
     r, n = B.shape
     R = _round_up(r, 8)
+    # extreme ranks: the (R, R) Gram alone would blow VMEM — fall back to
+    # the XLA sweeps (identical math)
+    if R * R * 4 > 6 * 1024 * 1024:
+        from onmf_ontf_ndl_tpu.ops.coder import _code_impl
+        import jax.numpy as _jnp
+
+        return _code_impl(A, B, H0, _jnp.asarray(alpha, B.dtype),
+                          _jnp.asarray(0.0, B.dtype),
+                          _jnp.asarray(0.0, B.dtype), int(sub_iter),
+                          False, False)
     # clamp the tile so the 4 (R, TN) f32 buffers stay within a ~8 MB
     # VMEM budget at large ranks
     vmem_budget = 8 * 1024 * 1024
@@ -147,6 +157,13 @@ def dict_update_sweep(W: jax.Array, A: jax.Array, B: jax.Array,
     d, r = W.shape
     R = _round_up(r, 8)
     D = _round_up(d, 128)
+    # the kernel holds 3 (R, D) buffers + (R, R) in VMEM; beyond ~10 MB
+    # fall back to the XLA column-BCD (identical math; the unit-ball
+    # projection's full-row norm prevents simple D-tiling)
+    if (3 * R * D + R * R) * 4 > 10 * 1024 * 1024:
+        from onmf_ontf_ndl_tpu.ops.dict_update import dict_update_bcd
+
+        return dict_update_bcd(W, A, B)
     f32 = jnp.float32
     Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
     Bp = jnp.zeros((R, D), f32).at[:r, :d].set(B.astype(f32))
