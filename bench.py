@@ -52,14 +52,16 @@ def _cpu_step(X, W, A, B, t, rng, stop):
     proj = W.T @ X
     H = _cpu_code(gram, proj, rng.random((W.shape[1], X.shape[1])),
                   SUB_ITER, stop)
-    w = 1.0 / t
-    A = (1 - w) * A + w * (H @ H.T)
-    B = (1 - w) * B + w * (H @ X.T)
+    # dictionary update uses the PRE-update aggregates, like the
+    # reference step (src/onmf.py:161) and the TPU dict_from="stale"
     W1 = W.copy()
     for j in range(W.shape[1]):
         col = W1[:, j] - (W1 @ A[:, j] - B[j]) / (A[j, j] + 1.0)
         col = np.maximum(col, 0.0)
         W1[:, j] = col / max(1.0, np.linalg.norm(col))
+    w = 1.0 / t
+    A = (1 - w) * A + w * (H @ H.T)
+    B = (1 - w) * B + w * (H @ X.T)
     return W1, A, B
 
 

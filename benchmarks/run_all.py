@@ -50,7 +50,6 @@ def bench_image(data_dir, fast):
     out = rec.reconstruct_image(path=path, downscale_factor=2)
     fence(out)
     recon_s = time.time() - t0
-    img = rec.data if not rec.is_color else None
     from onmf_ontf_ndl_tpu.data.images import load_image, downscale_local_mean
     ref = downscale_local_mean(load_image(path, is_color=False), 2)
     err = float(np.linalg.norm(np.asarray(out) - np.asarray(ref))

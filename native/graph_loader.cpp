@@ -9,6 +9,7 @@
 //
 // Build: g++ -O3 -std=c++17 -shared -fPIC graph_loader.cpp -o libgraph_loader.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -27,11 +28,22 @@ struct GraphHandle {
   std::string error;
 };
 
-// Parse one integer token; returns false at end of input.
-inline bool next_int(const char*& p, const char* end, int64_t& out) {
-  while (p < end && (*p == ',' || *p == ' ' || *p == '\t' || *p == '\n' ||
-                     *p == '\r'))
-    ++p;
+// Parse one integer token; returns false at end of input. Skips '#'
+// comment lines (SNAP-style headers); flags non-integer tokens (e.g.
+// float weights) via bad_token so callers can fall back to the Python
+// parser instead of silently corrupting the graph.
+inline bool next_int(const char*& p, const char* end, int64_t& out,
+                     bool& bad_token) {
+  for (;;) {
+    while (p < end && (*p == ',' || *p == ' ' || *p == '\t' || *p == '\n' ||
+                       *p == '\r'))
+      ++p;
+    if (p < end && *p == '#') {               // comment: skip to newline
+      while (p < end && *p != '\n') ++p;
+      continue;
+    }
+    break;
+  }
   if (p >= end) return false;
   bool neg = false;
   if (*p == '-') { neg = true; ++p; }
@@ -42,7 +54,11 @@ inline bool next_int(const char*& p, const char* end, int64_t& out) {
     ++p;
     any = true;
   }
-  if (!any) { ++p; return next_int(p, end, out); }
+  if (p < end && (*p == '.' || *p == 'e' || *p == 'E')) {
+    bad_token = true;                          // float-like token
+    return false;
+  }
+  if (!any) { ++p; return next_int(p, end, out, bad_token); }
   out = neg ? -v : v;
   return true;
 }
@@ -76,9 +92,10 @@ void* gl_load(const char* path) {
   const char* p = buf.data();
   const char* end = p + buf.size();
   int64_t a, b;
+  bool bad = false;
   std::vector<std::pair<int32_t, int32_t>> raw;
-  while (next_int(p, end, a)) {
-    if (!next_int(p, end, b)) break;
+  while (next_int(p, end, a, bad)) {
+    if (!next_int(p, end, b, bad)) break;
     auto ia = intern.emplace((int64_t)a, (int32_t)h->node_ids.size());
     if (ia.second) h->node_ids.push_back(a);
     auto ib = intern.emplace((int64_t)b, (int32_t)h->node_ids.size());
@@ -99,6 +116,9 @@ void* gl_load(const char* path) {
     }
   }
   for (int32_t d : h->deg) if (d > h->max_deg) h->max_deg = d;
+  if (bad) {
+    h->error = "non-integer token (use the Python parser for weighted files)";
+  }
   return h;
 }
 
@@ -142,6 +162,11 @@ void gl_fill(void* hp, uint8_t* adj, int32_t* nbr, int32_t* deg,
     adj[(int64_t)v * n + u] = 1;
     nbr[(int64_t)u * md + fill[u]++] = v;
     nbr[(int64_t)v * md + fill[v]++] = u;
+  }
+  // sort each neighbor row so the table is identical to the Python
+  // path's np.flatnonzero order (seeded draws reproduce across hosts)
+  for (int64_t i = 0; i < n; ++i) {
+    std::sort(nbr + i * md, nbr + i * md + fill[i]);
   }
 }
 

@@ -37,6 +37,9 @@ def _add_fields(p: argparse.ArgumentParser, cfg_cls, skip=()):
         # default is a sentinel so an explicit "none" is honored
         flag = "--" + f.name.replace("_", "-").lower()
         kw = {"dest": f.name, "default": _UNSET}
+        required = (f.default is dataclasses.MISSING)
+        if required:
+            kw["required"] = True
         if f.type in ("bool", bool):
             p.add_argument(flag, type=lambda s: s.lower() in ("1", "true", "yes"),
                            **kw)
@@ -108,8 +111,11 @@ def main(argv=None):
         viz.display_dictionary(W, cfg.patch_size, is_color=cfg.is_color,
                                save_path=f"{args.out_dir}/dict.png")
         if not args.no_recons:
-            rec = app.reconstruct_image_color(
-                recons_resolution=cfg.recons_resolution)
+            if cfg.is_color:
+                rec = app.reconstruct_image_color(
+                    recons_resolution=cfg.recons_resolution)
+            else:
+                rec = app.reconstruct_image()
             np.save(f"{args.out_dir}/recons.npy", np.asarray(rec))
         save_state(f"{args.out_dir}/state.npz", app.state)
     elif args.cmd == "tensor":

@@ -32,9 +32,13 @@ def _build_lib():
     out = os.path.join(os.path.dirname(_SRC),
                        f"libgraph_loader.{digest}.so")
     if not os.path.exists(out):
+        # build to a temp name and rename atomically so a concurrent
+        # process can never dlopen a half-written library
+        tmp = f"{out}.tmp.{os.getpid()}"
         cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-               "-o", out]
+               "-o", tmp]
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, out)
     return out
 
 

@@ -17,7 +17,8 @@ __all__ = ["load_video_frames"]
 
 def load_video_frames(path: str, *, max_frames: int | None = None,
                       is_color: bool = True, dtype=jnp.float32):
-    """Read frames of an animated image into a (F, H, W, C) device array."""
+    """Read frames of an animated image into a (F, H, W, 3) device array
+    (RGB), or (F, H, W) when ``is_color=False``."""
     from PIL import Image, ImageSequence
 
     img = Image.open(path)

@@ -127,18 +127,37 @@ class NetworkConfig:
     is_WAN: bool = False
     is_glauber_dict: bool = True
     is_glauber_recons: bool = False
+    weighted_patches: bool = False
     recons_iter: int = 10000
     seed: int = 0
 
     def build(self):
+        import numpy as np
+
         from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
 
+        if self.is_WAN:
+            # WAN files are whitespace-delimited weighted matrices
+            # (network_reconstruction_nx.py:64-67), not edge lists
+            adjacency = np.genfromtxt(self.source)
+            return NetworkReconstructor(
+                adjacency=adjacency, is_WAN=True,
+                weighted_patches=self.weighted_patches,
+                n_components=self.n_components,
+                MCMC_iterations=self.MCMC_iterations,
+                sub_iterations=self.sub_iterations,
+                sample_size=self.sample_size, batch_size=self.batch_size,
+                k1=self.k1, k2=self.k2, alpha=self.alpha,
+                is_glauber_dict=self.is_glauber_dict,
+                is_glauber_recons=self.is_glauber_recons, seed=self.seed,
+            )
         return NetworkReconstructor(
             source=self.source, n_components=self.n_components,
             MCMC_iterations=self.MCMC_iterations,
             sub_iterations=self.sub_iterations,
             sample_size=self.sample_size, batch_size=self.batch_size,
-            k1=self.k1, k2=self.k2, alpha=self.alpha, is_WAN=self.is_WAN,
+            k1=self.k1, k2=self.k2, alpha=self.alpha,
+            weighted_patches=self.weighted_patches,
             is_glauber_dict=self.is_glauber_dict,
             is_glauber_recons=self.is_glauber_recons, seed=self.seed,
         )

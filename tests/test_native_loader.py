@@ -32,12 +32,12 @@ def test_native_matches_python(tmp_path):
                                   np.asarray(g_py.adj))
     np.testing.assert_array_equal(np.asarray(g_native.deg),
                                   np.asarray(g_py.deg))
-    # neighbor tables may order neighbors differently; compare as sets
+    # neighbor rows are sorted in both paths -> exact equality
     nb_n = np.asarray(g_native.nbr)
     nb_p = np.asarray(g_py.nbr)
     deg = np.asarray(g_py.deg)
     for i in range(g_py.num_nodes):
-        assert set(nb_n[i, :deg[i]]) == set(nb_p[i, :deg[i]])
+        np.testing.assert_array_equal(nb_n[i, :deg[i]], nb_p[i, :deg[i]])
 
 
 def test_native_dedupes_and_drops_self_loops(tmp_path):
@@ -46,6 +46,19 @@ def test_native_dedupes_and_drops_self_loops(tmp_path):
     assert g.num_edges == 2
     assert np.asarray(g.deg).tolist() == [1, 2, 0, 1]
     assert g.node_ids == (1, 2, 3, 4)
+
+
+def test_native_skips_comments_and_rejects_floats(tmp_path):
+    p = tmp_path / "snap.txt"
+    p.write_text("# Nodes: 5 Edges: 4\n1,2\n2,3\n")
+    g = load_edgelist(str(p), use_native="always")
+    assert g.node_ids == (1, 2, 3)
+    assert g.num_edges == 2
+
+    p2 = tmp_path / "weighted.txt"
+    p2.write_text("0,1,0.5\n1,2,0.25\n")
+    with pytest.raises(RuntimeError, match="non-integer"):
+        load_edgelist_native(str(p2))
 
 
 def test_native_missing_file():
