@@ -194,13 +194,20 @@ def _step_inner(
     (the aggregates are linear in the samples; parallel/dp.py).
     """
     W, A, B, C = st.W, st.A, st.B, st.C
-    use_pallas = backend == "pallas" and not use_stopping
+    use_pallas = backend == "pallas"
     # jax.named_scope: phases show up as annotated regions in
     # jax.profiler traces (SURVEY.md §5 tracing plan)
     with jax.named_scope("onmf.sparse_code"):
         gram = W.T @ W
         proj = W.T @ Xb
-        if use_pallas:
+        if use_pallas and use_stopping:
+            from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import (
+                coder_sweeps_earlystop)
+
+            H = coder_sweeps_earlystop(
+                gram, proj, H0, jnp.asarray(alpha, W.dtype), stopping_diff,
+                sub_iter=int(sub_iter))
+        elif use_pallas:
             from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import coder_sweeps
 
             H = coder_sweeps(gram, proj, H0, jnp.asarray(alpha, W.dtype),

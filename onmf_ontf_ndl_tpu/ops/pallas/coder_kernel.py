@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["coder_sweeps", "dict_update_sweep"]
+__all__ = ["coder_sweeps", "coder_sweeps_earlystop", "dict_update_sweep"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -145,15 +145,166 @@ def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
     return out[:r, :n].astype(B.dtype)
 
 
+def _lambda_max(G, iters: int):
+    """Top eigenvalue of a small PSD matrix by power iteration.
+
+    In-kernel replacement for the reference's ``np.linalg.norm(M, 2)``
+    stopping statistic: ``sigma_max(M)^2 = lambda_max(M M^T)``. The
+    Rayleigh quotient after ``iters`` normalized power steps is accurate
+    to ~(lambda2/lambda1)^(2*iters) relative — far tighter than the 0.01
+    relative-change threshold it feeds.
+    """
+    v = jnp.sum(G, axis=1, keepdims=True)  # (R, 1) start vector
+
+    def it(_, v):
+        w = jax.lax.dot_general(G, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        nrm = jnp.sqrt(jnp.sum(w * w))
+        return w / jnp.maximum(nrm, 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, it, v)
+    Gv = jax.lax.dot_general(G, v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return jnp.sum(v * Gv) / jnp.maximum(jnp.sum(v * v), 1e-30)
+
+
+def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, A_ref, B_ref, H0_ref,
+                     H_ref, Hold_ref, conv_ref, *, r, sub_iter, pi_iters):
+    """Early-stopping sweeps on one (R, TN) tile of H.
+
+    Reference semantics (``/root/reference/src/onmf.py:252-268``): run
+    Gauss-Seidel sweeps until the relative spectral-norm change
+    ``|H1 - H0|_2 / |H0|_2`` drops to ``stopping_diff`` or ``sub_iter``
+    sweeps elapse. Static-shaped form (SURVEY §7 hard-part a): always
+    ``sub_iter`` loop iterations, with the whole sweep body predicated on
+    a not-yet-converged flag — a frozen tile costs one scalar test per
+    remaining sweep. The convergence test is evaluated per column tile
+    (the XLA path tests the full batch at once); the deviation is
+    documented in PARITY.md.
+    """
+    H_ref[...] = H0_ref[...]
+    conv_ref[0] = 0
+    alpha = alpha_ref[0, 0]
+    stop2 = stop_ref[0, 0] * stop_ref[0, 0]
+
+    def sweep(i, _):
+        @pl.when(conv_ref[0] == 0)
+        def _():
+            Hold_ref[...] = H_ref[...]
+            rs = jax.lax.rsqrt(i.astype(jnp.float32) + 10.0)
+
+            def row(k, _):
+                a_row = A_ref[pl.ds(k, 1), :]
+                grad = jax.lax.dot_general(
+                    a_row, H_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) - B_ref[pl.ds(k, 1), :] + alpha
+                step = rs / (diag_ref[0, k] + 1.0)
+                H_ref[pl.ds(k, 1), :] = jnp.maximum(
+                    H_ref[pl.ds(k, 1), :] - step * grad, 0.0)
+                return 0
+
+            jax.lax.fori_loop(0, r, row, 0)
+            delta = H_ref[...] - Hold_ref[...]
+            Gd = jax.lax.dot_general(
+                delta, delta, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            Gh = jax.lax.dot_general(
+                Hold_ref[...], Hold_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            num = _lambda_max(Gd, pi_iters)
+            den = _lambda_max(Gh, pi_iters)
+            # sigma(delta)^2 <= stop^2 * sigma(Hold)^2  <=>  rel <= stop
+            conv_ref[0] = (num <= stop2 * den).astype(jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, sub_iter, sweep, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sub_iter", "block_n", "pi_iters", "interpret"))
+def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
+                           alpha=0.0, stopping_diff=0.01, *,
+                           sub_iter: int = 10, block_n: int = 4096,
+                           pi_iters: int = 24,
+                           interpret: bool = False) -> jax.Array:
+    """Fused early-stopping nonnegative sparse coding from Gram form.
+
+    The reference-semantics (default) coder path as one TPU kernel: up to
+    ``sub_iter`` Gauss-Seidel sweeps per column tile with the relative
+    spectral-change stopping rule evaluated on-chip (power iteration on
+    the (r, r) Grams of the sweep delta and iterate — no SVD, no host
+    round trips, no dynamic shapes). Converged tiles freeze and skip all
+    remaining sweep work.
+
+    Args/returns as :func:`coder_sweeps`, plus ``stopping_diff``.
+    """
+    r, n = B.shape
+    R = _round_up(r, 8)
+    if R * R * 4 > 6 * 1024 * 1024:
+        from onmf_ontf_ndl_tpu.ops.coder import _code_impl
+
+        return _code_impl(A, B, H0, jnp.asarray(alpha, B.dtype),
+                          jnp.asarray(stopping_diff, B.dtype),
+                          jnp.asarray(0.0, B.dtype), int(sub_iter),
+                          True, False)
+    # 4 (R, TN) f32 tiles (B, H0, H, Hold scratch) within ~8 MB VMEM
+    vmem_budget = 8 * 1024 * 1024
+    max_tn = max(512, (vmem_budget // (4 * 5 * R)) // 128 * 128)
+    TN = min(block_n, max_tn, _round_up(n, 128))
+    N = _round_up(n, TN)
+    f32 = jnp.float32
+    Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
+    Bp = jnp.zeros((R, N), f32).at[:r, :n].set(B.astype(f32))
+    Hp = jnp.zeros((R, N), f32).at[:r, :n].set(H0.astype(f32))
+    stop_arr = jnp.full((1, 1), stopping_diff, f32)
+    alpha_arr = jnp.full((1, 1), alpha, f32)
+    diag = jnp.zeros((1, R), f32).at[0, :r].set(jnp.diag(A).astype(f32))
+
+    out = pl.pallas_call(
+        functools.partial(_coder_es_kernel, r=r, sub_iter=sub_iter,
+                          pi_iters=pi_iters),
+        out_shape=jax.ShapeDtypeStruct((R, N), f32),
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, R), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R, TN), f32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(stop_arr, alpha_arr, diag, Ap, Bp, Hp)
+    return out[:r, :n].astype(B.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def dict_update_sweep(W: jax.Array, A: jax.Array, B: jax.Array,
                       *, interpret: bool = False) -> jax.Array:
     """Fused column-BCD dictionary update (one sweep over all columns).
 
-    Runs on W^T so the sequential axis is the sublane dim; relies on the
-    symmetry of A (A[:, j] == A[j, :] for the H H^T aggregate).
+    Runs on W^T so the sequential axis is the sublane dim. The kernel
+    reads rows of its Gram operand where the XLA path reads columns
+    A[:, j], so A is transposed on entry (a free (r, r) op): the kernel
+    matches ``dict_update_bcd`` exactly even for a non-aggregate
+    asymmetric A (for the symmetric H H^T aggregate it is a no-op).
     Args: W (d, r), A (r, r), B (r, d). Returns updated W (d, r).
     """
+    A = A.T
     d, r = W.shape
     R = _round_up(r, 8)
     D = _round_up(d, 128)
