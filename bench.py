@@ -1,21 +1,29 @@
 """Headline benchmark: ONMF training throughput (patches/sec).
 
 Config per BASELINE.md: rank-25 ONMF on 10x10 color patches (d=300),
-measuring the full online step — nonnegative sparse coding (exactly 10
-PGD sweeps), streaming aggregate update, and column-BCD dictionary
-update. Both sides run the identical fixed-sweep schedule so the
-comparison is FLOP-for-FLOP fair; the reference's early-stopping variant
-is reported as a secondary line on stderr.
+measuring the full online step — nonnegative sparse coding, streaming
+aggregate update, and column-BCD dictionary update — under BOTH coder
+semantics:
+
+- fixed 10 sweeps on both sides (FLOP-for-FLOP identical schedules);
+- the reference's default early stopping (relative spectral-change
+  0.01, max 10 sweeps) on both sides.
 
 The baseline denominator is the CPU reference algorithm (a NumPy
 implementation with identical semantics to
-/root/reference/src/onmf.py:92-167,233-271), measured on this host at the
-reference's own scale. The TPU number is the fused lax.scan training path
-with the Pallas sweep kernels (ops/pallas/coder_kernel.py).
+/root/reference/src/onmf.py:92-167,233-271) measured at ITS best batch
+size over {100, 1024, 4096} — the batch sweep removes the round-1
+batch-handicap (the Python row sweep amortizes at large batches, so a
+fixed small CPU batch inflates the ratio ~4x). The TPU side likewise
+takes its best batch over {4096, 8192, 16384} (the fused Pallas sweep
+kernels amortize their sequential sub_iter x r loop over wider column
+tiles).
 
 Prints ONE JSON line:
   {"metric": ..., "value": tpu_patches_per_sec, "unit": "patches/s",
-   "vs_baseline": tpu/cpu}
+   "vs_baseline": tpu/cpu   (fixed-sweep semantics, best-batch both sides),
+   "early_stop_vs_baseline": same ratio under reference early-stop
+    semantics, "mfu": model-flop utilization vs bf16 peak, ...}
 """
 
 import json
@@ -26,10 +34,22 @@ import numpy as np
 
 
 D, R = 300, 25          # 10x10x3 color patches, rank 25
-CPU_BATCH = 100          # generous batch for the NumPy baseline
-TPU_BATCH = 4096
 SUB_ITER = 10
 STOP = 0.01
+CPU_BATCHES = (100, 1024, 4096)
+TPU_BATCHES = (4096, 8192, 16384)
+PEAK_FLOPS_BF16 = 197e12   # TPU v5e chip peak (bf16 MXU)
+
+
+def flops_per_patch(d=D, r=R, sub_iter=SUB_ITER):
+    """Analytic model FLOPs per patch for one online step.
+
+    Per batch of n: gram W^T W (2dr^2) + proj W^T X (2drn) + sub_iter
+    Gauss-Seidel sweeps of r row matvecs (2 r^2 n each) + aggregates
+    H H^T (2 r^2 n) and H X^T (2 r d n) + column-BCD (2dr^2). Per-patch
+    terms only (the O(dr^2) per-batch terms vanish at bench batches).
+    """
+    return 4 * d * r + 2 * (sub_iter + 1) * r * r
 
 
 # ----------------------------------------------------------------- CPU
@@ -65,37 +85,50 @@ def _cpu_step(X, W, A, B, t, rng, stop):
     return W1, A, B
 
 
-def measure_cpu(min_seconds=3.0, stop=None):
+def measure_cpu(batch, stop, min_seconds=2.0):
     rng = np.random.default_rng(0)
-    pool = rng.random((D, 2048)).astype(np.float64)
+    pool = rng.random((D, 8192)).astype(np.float64)
     W = rng.random((D, R))
     A = np.zeros((R, R))
     B = np.zeros((R, D))
     # warmup
-    idx = rng.integers(0, pool.shape[1], CPU_BATCH)
+    idx = rng.integers(0, pool.shape[1], batch)
     W, A, B = _cpu_step(pool[:, idx], W, A, B, 1.0, rng, stop)
     steps, t0 = 0, time.perf_counter()
     while time.perf_counter() - t0 < min_seconds:
-        idx = rng.integers(0, pool.shape[1], CPU_BATCH)
+        idx = rng.integers(0, pool.shape[1], batch)
         W, A, B = _cpu_step(pool[:, idx], W, A, B, 2.0 + steps, rng, stop)
         steps += 1
     dt = time.perf_counter() - t0
-    return steps * CPU_BATCH / dt
+    return steps * batch / dt
+
+
+def best_cpu(stop):
+    best, best_batch = 0.0, None
+    for b in CPU_BATCHES:
+        pps = measure_cpu(b, stop)
+        print(f"  cpu batch {b}: {pps:,.0f} patches/s", file=sys.stderr)
+        if pps > best:
+            best, best_batch = pps, b
+    return best, best_batch
 
 
 # ----------------------------------------------------------------- TPU
-def measure_tpu(iters=200, stop=None):
+def measure_tpu(batch, stop):
     import jax
     import jax.numpy as jnp
     from onmf_ontf_ndl_tpu.models.state import init_state
     from onmf_ontf_ndl_tpu.models.onmf import train_dict
 
+    # constant ~1.6M patches per timed run so tunnel dispatch/fetch
+    # latency stays amortized at every batch size
+    iters = max(100, 1_600_000 // batch)
     pool = jax.random.uniform(jax.random.key(1), (D, 8192))
     state = init_state(jax.random.key(0), D, R)
 
-    def run(st, it):
-        st, _ = train_dict(st, pool, iterations=it + 1,
-                           batch_size=TPU_BATCH, alpha=0.0, beta=1.0,
+    def run(st):
+        st, _ = train_dict(st, pool, iterations=iters + 1,
+                           batch_size=batch, alpha=0.0, beta=1.0,
                            sub_iter=SUB_ITER, stopping_diff=stop,
                            track_code=False)
         return st
@@ -104,34 +137,59 @@ def measure_tpu(iters=200, stop=None):
     # remote backend — force a scalar host fetch to fence the computation.
     # Timed as best-of-3 cached runs: the remote tunnel's dispatch/fetch
     # latency drifts over long sessions and must not pollute the number.
-    st = run(state, iters)
+    st = run(state)
     float(jnp.sum(st.W))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        st = run(state, iters)
+        st = run(state)
         float(jnp.sum(st.W))
         best = min(best, time.perf_counter() - t0)
-    return iters * TPU_BATCH / best
+    return iters * batch / best
+
+
+def best_tpu(stop):
+    best, best_batch = 0.0, None
+    for b in TPU_BATCHES:
+        pps = measure_tpu(b, stop)
+        print(f"  tpu batch {b}: {pps:,.0f} patches/s", file=sys.stderr)
+        if pps > best:
+            best, best_batch = pps, b
+    return best, best_batch
 
 
 def main():
-    cpu_pps = measure_cpu(stop=None)
-    print(f"cpu reference (fixed 10 sweeps): {cpu_pps:,.0f} patches/s "
-          f"(batch {CPU_BATCH}, d={D}, r={R})", file=sys.stderr)
-    tpu_pps = measure_tpu(stop=None)
-    print(f"tpu pallas fused scan (fixed 10 sweeps): {tpu_pps:,.0f} "
-          f"patches/s (batch {TPU_BATCH})", file=sys.stderr)
-    # secondary: reference early-stopping semantics on both sides
-    cpu_es = measure_cpu(min_seconds=2.0, stop=STOP)
-    tpu_es = measure_tpu(iters=100, stop=STOP)
-    print(f"early-stop variant: cpu {cpu_es:,.0f} vs tpu {tpu_es:,.0f} "
-          f"patches/s ({tpu_es / cpu_es:.0f}x)", file=sys.stderr)
+    print("fixed 10 sweeps (identical schedule both sides):",
+          file=sys.stderr)
+    cpu_fx, cpu_fx_b = best_cpu(stop=None)
+    tpu_fx, tpu_fx_b = best_tpu(stop=None)
+    print("reference early-stop semantics (stop 0.01, both sides):",
+          file=sys.stderr)
+    cpu_es, cpu_es_b = best_cpu(stop=STOP)
+    tpu_es, tpu_es_b = best_tpu(stop=STOP)
+
+    fpp = flops_per_patch()
+    mfu = tpu_fx * fpp / PEAK_FLOPS_BF16
+    print(f"fixed-sweep:  tpu {tpu_fx:,.0f} (batch {tpu_fx_b}) vs cpu-best "
+          f"{cpu_fx:,.0f} (batch {cpu_fx_b}) = {tpu_fx / cpu_fx:.0f}x",
+          file=sys.stderr)
+    print(f"early-stop:   tpu {tpu_es:,.0f} (batch {tpu_es_b}) vs cpu-best "
+          f"{cpu_es:,.0f} (batch {cpu_es_b}) = {tpu_es / cpu_es:.0f}x",
+          file=sys.stderr)
+    print(f"model flops/patch {fpp:,} -> {tpu_fx * fpp / 1e12:.2f} TFLOP/s "
+          f"= {100 * mfu:.2f}% MFU of bf16 peak (algorithm is a "
+          f"rank-{R} sequential Gauss-Seidel: low MFU is inherent; see "
+          f"docs/DESIGN.md)", file=sys.stderr)
     print(json.dumps({
         "metric": "onmf_train_patches_per_sec_rank25_10x10color",
-        "value": round(tpu_pps, 1),
+        "value": round(tpu_fx, 1),
         "unit": "patches/s",
-        "vs_baseline": round(tpu_pps / cpu_pps, 2),
+        "vs_baseline": round(tpu_fx / cpu_fx, 2),
+        "early_stop_value": round(tpu_es, 1),
+        "early_stop_vs_baseline": round(tpu_es / cpu_es, 2),
+        "tpu_batch": tpu_fx_b,
+        "cpu_baseline_batch": cpu_fx_b,
+        "mfu_bf16_peak": round(mfu, 5),
     }))
 
 

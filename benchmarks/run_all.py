@@ -124,6 +124,33 @@ def bench_network(data_dir, fast):
             "wan_train_s": round(wan_s, 2)}
 
 
+def bench_arxiv(data_dir, fast):
+    """Beyond-dense scale: NDL + sparse reconstruction on the 18,772-node
+    arxiv graph (BitsetGraph + segment-mean reconstruction — the dense
+    (N, N) canvases would be ~2.8 GB and the result could never come back
+    over the host link)."""
+    import jax.numpy as jnp
+    from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
+    from onmf_ontf_ndl_tpu.data.graphs import load_edgelist_bitset
+
+    g = load_edgelist_bitset(f"{data_dir}/Networks/arxiv.txt")
+    rec = NetworkReconstructor(
+        source=g, n_components=25, MCMC_iterations=20, sub_iterations=20,
+        sample_size=500, batch_size=20, k1=0, k2=2, alpha=0.1,
+        is_glauber_recons=False, fast=fast, num_chains=8)
+    t0 = time.time()
+    rec.train_dict(); fence(rec.W)
+    train_s = time.time() - t0
+    t0 = time.time()
+    edges = rec.reconstruct_network(recons_iter=100_000, num_chains=64)
+    acc = rec.compute_recons_accuracy()
+    recon_s = time.time() - t0
+    return {"nodes": g.num_nodes, "edges": g.num_edges,
+            "train_s": round(train_s, 2), "recon_s": round(recon_s, 2),
+            "recon_edges": int(len(edges)),
+            "recons_accuracy": round(acc, 4)}
+
+
 def bench_video(data_dir, fast):
     from onmf_ontf_ndl_tpu.apps.video import VideoDictionaryLearner
 
@@ -152,6 +179,7 @@ def main():
         ("ising_trajectory", lambda: bench_ising(args.fast)),
         ("network_dictionary_learning",
          lambda: bench_network(args.data, args.fast)),
+        ("arxiv_scale_ndl", lambda: bench_arxiv(args.data, args.fast)),
         ("streaming_video", lambda: bench_video(args.data, args.fast)),
     ]:
         try:

@@ -49,7 +49,8 @@ from onmf_ontf_ndl_tpu.samplers.motif import (
     tree_sample,
 )
 
-__all__ = ["NetworkReconstructor", "ndl_train", "reconstruct_network"]
+__all__ = ["NetworkReconstructor", "ndl_train", "reconstruct_network",
+           "reconstruct_network_sparse"]
 
 
 @functools.partial(
@@ -107,20 +108,23 @@ def ndl_train(
         return _sample_patches_ensemble_impl(
             ck, g, emb, B_bytes, parents, per, use_glauber, weighted)
 
-    def body(carry, _):
+    def body(carry, i):
         st, emb, code = carry
         key, ck, = jax.random.split(st.key)
         st = dataclasses.replace(st, key=key)
         X, emb = sample(ck, emb)
-        st, code, _ = _train_scan(
+        st, code_new, _ = _train_scan(
             st, X.astype(dtype), code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, subsample, sub_iter,
             use_stopping, True, "stale", backend=backend,
         )
+        # the reference discards H from the first MCMC iteration
+        # (code += H only for t > 0, network_reconstruction_nx.py:360-377)
+        code = jnp.where(i > 0, code_new, code)
         return (st, emb, code), None
 
     (state, emb, code), _ = lax.scan(
-        body, (state, emb0, code), None, length=mcmc_iterations)
+        body, (state, emb0, code), jnp.arange(mcmc_iterations))
     return state, code, emb
 
 
@@ -155,6 +159,28 @@ def reconstruct_network(
     sequential by definition, so the ensemble is the TPU way to cut the
     wall-clock of a long reconstruction chain (the reference runs one
     chain for up to 1e5 steps, ``network_reconstruction_nx.py:601``).
+    """
+    embs, vals = _recon_sample_vals(
+        W, g, key, B_bytes, parents, recons_iter, alpha, sub_iter,
+        use_glauber, weighted, num_chains)
+    recons_iter, k = embs.shape
+
+    n = g.num_nodes
+    rows = embs[:, :, None] * jnp.ones((1, 1, k), jnp.int32)
+    cols = embs[:, None, :] * jnp.ones((1, k, 1), jnp.int32)
+    acc = jnp.zeros((n, n), W.dtype).at[rows, cols].add(vals)
+    cnt = jnp.zeros((n, n), W.dtype).at[rows, cols].add(1.0)
+    recon = acc / jnp.maximum(cnt, 1.0)
+    return recon, cnt
+
+
+def _recon_sample_vals(W, g, key, B_bytes, parents, recons_iter, alpha,
+                       sub_iter, use_glauber, weighted, num_chains):
+    """Shared reconstruction front half: chain-sample ``recons_iter``
+    embeddings, batch-code their patches, return the painted values.
+
+    Returns ``(embs (M, k) int32, vals (M, k, k))`` with
+    ``M = recons_iter`` rounded up to a multiple of ``num_chains``.
     """
     k = len(parents) + 1
     ck, hk = jax.random.split(key)
@@ -196,14 +222,73 @@ def reconstruct_network(
     H = nonneg_code(X, W, key=hk, alpha=alpha, sub_iter=sub_iter,
                     stopping_diff=None)
     vals = (W @ H).T.reshape(recons_iter, k, k)
+    return embs, vals
 
-    n = g.num_nodes
-    rows = embs[:, :, None] * jnp.ones((1, 1, k), jnp.int32)
-    cols = embs[:, None, :] * jnp.ones((1, k, 1), jnp.int32)
-    acc = jnp.zeros((n, n), W.dtype).at[rows, cols].add(vals)
-    cnt = jnp.zeros((n, n), W.dtype).at[rows, cols].add(1.0)
-    recon = acc / jnp.maximum(cnt, 1.0)
-    return recon, cnt
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("B_bytes", "parents", "recons_iter", "use_glauber",
+                     "weighted", "sub_iter", "num_chains"),
+)
+def reconstruct_network_sparse(
+    W: jax.Array,
+    g: Graph,
+    key: jax.Array,
+    B_bytes: bytes,
+    parents: tuple[int, ...],
+    *,
+    recons_iter: int,
+    alpha: float = 0.0,
+    sub_iter: int = 30,
+    use_glauber: bool = False,
+    weighted: bool = False,
+    num_chains: int = 1,
+):
+    """Memory-scalable reconstruction: per-edge segment means instead of
+    dense (N, N) canvases.
+
+    The reference paints sparsely into a DiGraph with a per-edge running
+    average (``network_reconstruction_nx.py:453-491``); the running
+    average equals the per-edge mean, so grouping the ``recons_iter*k^2``
+    painted values by their (i, j) node pair and averaging is
+    semantically identical — and touches O(samples) memory instead of
+    O(N^2), which is what lets the 18k-node arxiv graph (and anything the
+    BitsetGraph representation holds) reconstruct on one chip without
+    multi-GB canvases or a dense result crawling back over the host link.
+
+    Grouping is a lexicographic sort of the (i, j) keys plus segment
+    sums — no dynamic shapes (the unique count stays implicit; unused
+    slots have count 0).
+
+    Returns ``(ii, jj, mean, cnt)``, each of length ``recons_iter*k^2``:
+    for slots with ``cnt > 0``, the mean painted value of directed pair
+    ``(ii, jj)``; slots with ``cnt == 0`` are padding. The rounded simple
+    graph consists of pairs with ``round(mean) > 0``.
+    """
+    embs, vals = _recon_sample_vals(
+        W, g, key, B_bytes, parents, recons_iter, alpha, sub_iter,
+        use_glauber, weighted, num_chains)
+    M, k = embs.shape
+
+    ii = jnp.broadcast_to(embs[:, :, None], (M, k, k)).reshape(-1)
+    jj = jnp.broadcast_to(embs[:, None, :], (M, k, k)).reshape(-1)
+    vv = vals.reshape(-1)
+    total = M * k * k
+
+    # lexicographic sort by (i, j) — no i*N+j key, so no overflow limit
+    order = jnp.lexsort((jj, ii))
+    si, sj, sv = ii[order], jj[order], vv[order]
+    new_seg = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        ((si[1:] != si[:-1]) | (sj[1:] != sj[:-1])).astype(jnp.int32),
+    ])
+    seg = jnp.cumsum(new_seg) - 1                     # (total,) segment ids
+    sums = jax.ops.segment_sum(sv, seg, num_segments=total)
+    cnt = jax.ops.segment_sum(jnp.ones_like(sv), seg, num_segments=total)
+    out_i = jax.ops.segment_max(si, seg, num_segments=total)
+    out_j = jax.ops.segment_max(sj, seg, num_segments=total)
+    mean = sums / jnp.maximum(cnt, 1.0)
+    return out_i, out_j, mean, cnt
 
 
 class NetworkReconstructor:
@@ -275,6 +360,9 @@ class NetworkReconstructor:
             self.emb = tree_sample(tk, self._parents, self.G, x0)
         self.state = init_state(sk, k * k, n_components, dtype=dtype)
         self.code = jnp.zeros((n_components, sample_size), dtype)
+        self.G_recons = None
+        self.G_recons_edges = None
+        self.recon_weights = None
 
     @property
     def W(self):
@@ -306,22 +394,52 @@ class NetworkReconstructor:
         return self.state.W
 
     def reconstruct_network(self, recons_iter: int = 100, alpha: float = 0.0,
-                            num_chains: int = 1):
-        """Returns the reconstructed simple graph as a dense boolean
-        (N, N) matrix (``reconstruct_network``, ``:444-511``).
-        ``num_chains > 1`` splits the work over an ensemble of chains."""
+                            num_chains: int = 1, sparse: bool | None = None):
+        """Reconstruct the network (``reconstruct_network``, ``:444-511``).
+
+        ``sparse=False`` returns a dense boolean (N, N) matrix;
+        ``sparse=True`` returns a (num_edges, 2) int array of undirected
+        simple-graph edges, computed with O(samples) memory — the path
+        that scales to the arxiv/facebook graphs. ``sparse=None`` picks
+        dense below 4096 nodes, sparse above (and always sparse for a
+        BitsetGraph). Both paths implement the same per-edge-mean +
+        rounding semantics. ``num_chains > 1`` splits the chain work over
+        an ensemble."""
+        if sparse is None:
+            sparse = (isinstance(self.G, BitsetGraph)
+                      or self.G.num_nodes > 4096)
         self.key, rk = jax.random.split(self.key)
-        recon, cnt = reconstruct_network(
+        if not sparse:
+            recon, cnt = reconstruct_network(
+                self.state.W, self.G, rk, self._B_bytes, self._parents,
+                recons_iter=recons_iter, alpha=alpha,
+                use_glauber=self.is_glauber_recons,
+                weighted=self.weighted_patches, num_chains=num_chains,
+            )
+            self.recon_weights = recon
+            simple = jnp.logical_and(jnp.round(recon) > 0, cnt > 0)
+            simple = jnp.logical_or(simple, simple.T)
+            self.G_recons = simple
+            self.G_recons_edges = None
+            return simple
+        ii, jj, mean, cnt = reconstruct_network_sparse(
             self.state.W, self.G, rk, self._B_bytes, self._parents,
             recons_iter=recons_iter, alpha=alpha,
             use_glauber=self.is_glauber_recons,
             weighted=self.weighted_patches, num_chains=num_chains,
         )
-        self.recon_weights = recon
-        simple = jnp.logical_and(jnp.round(recon) > 0, cnt > 0)
-        simple = jnp.logical_or(simple, simple.T)
-        self.G_recons = simple
-        return simple
+        ii, jj = np.asarray(ii), np.asarray(jj)
+        mean, cnt = np.asarray(mean), np.asarray(cnt)
+        keep = (cnt > 0) & (np.round(mean) > 0)
+        lo = np.minimum(ii[keep], jj[keep])
+        hi = np.maximum(ii[keep], jj[keep])
+        off_diag = lo != hi
+        edges = np.unique(np.stack([lo[off_diag], hi[off_diag]], axis=1),
+                          axis=0)
+        self.recon_weights = None
+        self.G_recons = None
+        self.G_recons_edges = edges
+        return edges
 
     def label_of(self, index: int):
         """Array index -> original node label (``np2nx``,
@@ -366,11 +484,39 @@ class NetworkReconstructor:
             plt.close(fig)
         return cov
 
+    def has_edge(self, i, j) -> np.ndarray:
+        """Vectorized host-side edge test on either graph representation."""
+        i = np.asarray(i)
+        j = np.asarray(j)
+        if isinstance(self.G, BitsetGraph):
+            bits = np.asarray(self.G.bits)
+            return ((bits[i, j // 32] >> (j % 32).astype(np.uint32)) & 1
+                    ).astype(bool)
+        return np.asarray(self.G.adj)[i, j]
+
     def compute_recons_accuracy(self, G_recons=None):
         """``|E(G & G_recons)| / |E(G)|``
-        (``network_reconstruction_nx.py:513-524``)."""
+        (``network_reconstruction_nx.py:513-524``).
+
+        Accepts either the dense boolean matrix or the sparse
+        (num_edges, 2) edge array from :meth:`reconstruct_network`;
+        defaults to whichever the last reconstruction produced."""
         if G_recons is None:
-            G_recons = self.G_recons
+            G_recons = (self.G_recons if self.G_recons is not None
+                        else self.G_recons_edges)
+        G_recons_np = np.asarray(G_recons)
+        if G_recons_np.ndim == 2 and G_recons_np.shape[1] == 2 and \
+                G_recons_np.dtype != bool:
+            # sparse undirected edge list (i < j rows, unique)
+            edges = G_recons_np
+            if isinstance(self.G, BitsetGraph):
+                total = int(np.asarray(self.G.deg).sum()) // 2
+            else:
+                total = int(np.asarray(self.G.adj).sum()) // 2
+            if len(edges) == 0:
+                return 0.0
+            common = int(self.has_edge(edges[:, 0], edges[:, 1]).sum())
+            return float(common) / max(total, 1)
         if isinstance(self.G, BitsetGraph):
             # unpack the bit rows to a dense boolean matrix on the host
             bits = np.ascontiguousarray(np.asarray(self.G.bits))

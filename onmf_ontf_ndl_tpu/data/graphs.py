@@ -103,6 +103,14 @@ def graph_from_adjacency(A, *, normalize: bool = False) -> Graph:
     ``normalize=True`` divides by the max (the WAN convention,
     ``network_reconstruction_nx.py:64-67``). Binary structure is
     ``A > 0``; weights are kept for weighted-patch extraction.
+
+    Weight convention for directed inputs (explicit, matching the
+    reference's direct ``A[i, j]`` reads): structure is symmetrized
+    (``adj | adj.T``), and the weight of pair (i, j) is ``A[i, j]`` when
+    that direction is present, else backfilled from ``A[j, i]``. When
+    both directions carry different weights, each orientation keeps its
+    own value — weighted patches are orientation-dependent exactly as in
+    the reference, which indexes the raw matrix.
     """
     A = np.asarray(A, np.float64)
     if normalize and A.max() > 0:
