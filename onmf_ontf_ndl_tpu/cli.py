@@ -82,6 +82,15 @@ def main(argv=None):
         prog="onmf-ontf-ndl-tpu",
         description="TPU-native online NMF/NTF & network dictionary learning")
     parser.add_argument("--out-dir", default="out")
+    # multi-host launch (same command on every host; see
+    # parallel/multihost.py). --distributed alone autodetects on TPU pods.
+    parser.add_argument("--distributed", action="store_true",
+                        help="join the multi-process JAX runtime before "
+                             "touching the backend")
+    parser.add_argument("--coordinator-address", default=None,
+                        help="host:port of process 0's coordinator service")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     specs = {
@@ -100,6 +109,12 @@ def main(argv=None):
         _add_fields(p, cls)
 
     args = parser.parse_args(argv)
+    if args.distributed or args.coordinator_address is not None:
+        from onmf_ontf_ndl_tpu.parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes, process_id=args.process_id)
     os.makedirs(args.out_dir, exist_ok=True)
     cfg = _build_cfg(specs[args.cmd], args)
     app = cfg.build()
