@@ -259,6 +259,29 @@ class ImageReconstructor:
         )
         return self.state.W
 
+    def extract_patches(self, num_patches: int | None = None, seed: int = 23):
+        """Sample a (d, n) random-patch matrix from the training image —
+        the sampler the fused trainer uses internally
+        (``extract_random_patches``, ``image_reconstruction.py:173-206``)."""
+        from onmf_ontf_ndl_tpu.ops.patches import (
+            extract_patches, random_patch_corners)
+
+        n = num_patches or self.num_patches
+        corners = random_patch_corners(
+            jax.random.key(seed), self.data.shape[:2], self.patch_size, n)
+        return extract_patches(self.data, corners, self.patch_size)
+
+    def save_patches(self, filename: str, num_patches: int | None = None):
+        """Sample and save a patch matrix to ``filename`` (.npy) — the
+        reference's ``save_patches`` (``image_reconstruction.py:231-235``;
+        there it saves the constructor-loaded ``self.patches``, which the
+        fused pipeline never materializes — so this samples them)."""
+        import numpy as _np
+
+        X = self.extract_patches(num_patches)
+        _np.save(filename, _np.asarray(X))
+        return filename
+
     def display_dictionary(self, W=None, save_path: str | None = None,
                            show: bool = False):
         """Dictionary patch grid (``display_dictionary``,

@@ -183,3 +183,39 @@ class ImageReconstructorTensor:
             jnp.asarray(data, self.dtype), self.W, jax.random.key(29),
             patch_size=self.patch_size, stride=recons_resolution, alpha=alpha,
         )
+
+    def reconstruct_image(self, path: str | None = None, data=None,
+                          downscale_factor: int = 2,
+                          patch_size: int | None = None):
+        """Grayscale full-grid reconstruction from a spatial (k^2, r)
+        dictionary — the tensor app's ``reconstruct_image``
+        (``image_reconstruction_tensor.py:260-275``): every overlapping
+        patch is coded at once with the instance's NTF coder alpha and
+        folded with ``reconstruct_from_patches_2d`` semantics. Requires a
+        mode-0 marginal dictionary (d = k^2)."""
+        from onmf_ontf_ndl_tpu.apps.image import reconstruct
+        from onmf_ontf_ndl_tpu.data.images import downscale_local_mean
+
+        k = patch_size or self.patch_size
+        if self.W is None or self.W.shape[0] != k * k:
+            raise ValueError(
+                "grayscale reconstruction needs a (k^2, r) spatial "
+                "dictionary (train with mode=0, learn_joint_dict=False)")
+        if data is None:
+            data = load_image(path or self.path, is_color=False,
+                              dtype=self.dtype)
+        data = downscale_local_mean(jnp.asarray(data, self.dtype),
+                                    downscale_factor)
+        return reconstruct(
+            data, self.W, jax.random.key(29), patch_size=k,
+            alpha=self.alpha, full_grid=True,
+        )
+
+    def display_second_dictionary(self, H, save_path: str | None = None,
+                                  show: bool = False):
+        """Heatmap of the second (channel) factor
+        (``image_reconstruction_tensor.py:177-185``)."""
+        from onmf_ontf_ndl_tpu.utils.viz import display_second_dictionary
+
+        return display_second_dictionary(
+            H, patch_size=self.patch_size, save_path=save_path, show=show)

@@ -46,7 +46,7 @@ from onmf_ontf_ndl_tpu.samplers.ising import (
 )
 from onmf_ontf_ndl_tpu.utils.metrics import surrogate_error
 
-__all__ = ["IsingReconstructor", "ising_trajectory_learning"]
+__all__ = ["IsingReconstructor", "ising_trajectory_learning", "display_errors"]
 
 
 @functools.partial(
@@ -246,3 +246,27 @@ class IsingReconstructor:
             data, self.W, jax.random.key(23), patch_size=k,
             alpha=self.alpha, full_grid=True,
         )
+
+
+def display_errors(error_files: dict, *, lattice_sites: float = 40000.0,
+                   total_updates: float = 500.0,
+                   save_path: str | None = None, show: bool = False):
+    """Errors-over-subsampling comparison plot — the reference's
+    ``display_errors`` (``ising_reconstruction.py:203-221``): one surrogate
+    error trace per subsampling epoch, x rescaled to a common span of
+    ``total_updates``, y normalized by the lattice site count.
+
+    ``error_files`` maps a label (e.g. "subsampling epoch of 1000") to a
+    saved ``errors`` .npy path or an array.
+    """
+    import numpy as np
+
+    from onmf_ontf_ndl_tpu.utils.viz import display_errors_comparison
+
+    traces = {}
+    for label, src in error_files.items():
+        traces[label] = np.load(src) if isinstance(src, str) else np.asarray(src)
+    return display_errors_comparison(
+        traces, total_updates=total_updates, normalize=lattice_sites,
+        xlabel="effective epoch", ylabel="surrogate error / site",
+        save_path=save_path, show=show)

@@ -441,6 +441,49 @@ class NetworkReconstructor:
         self.G_recons_edges = edges
         return edges
 
+    def recons_edges(self):
+        """Undirected (num_edges, 2) edge array (interned indices) of the
+        last reconstruction, whichever form it was computed in."""
+        if self.G_recons_edges is not None:
+            return self.G_recons_edges
+        if self.G_recons is None:
+            raise ValueError("no reconstruction yet; call "
+                             "reconstruct_network() first")
+        rec = np.array(self.G_recons)
+        np.fill_diagonal(rec, False)
+        return np.argwhere(np.triu(rec))
+
+    def write_edgelist(self, path: str, delimiter: str = ","):
+        """Export the reconstructed simple graph as an edge list in the
+        ORIGINAL node labels — the reference's
+        ``nx.write_edgelist(G_recons, data=False, delimiter=',')`` export
+        (``network_reconstruction_nx.py:601-609``)."""
+        edges = self.recons_edges()
+        ids = np.asarray(self.G.node_ids)
+        with open(path, "w") as f:
+            for i, j in edges:
+                f.write(f"{ids[i]}{delimiter}{ids[j]}\n")
+        return path
+
+    def compute_A_recons(self, path: str, delimiter: str = ","):
+        """Read a reconstructed-graph edge list and return its dense
+        adjacency **in this graph's node ordering** — the reference's
+        ``compute_A_recons`` (``network_reconstruction_nx.py:526-533``),
+        whose crucial detail is ``nodelist=self.G.nodes``: the same node
+        order as A, so the matrices are comparable entry-wise. Edges
+        touching labels outside this graph are dropped (the reference's
+        ``to_numpy_matrix(nodelist=...)`` does the same)."""
+        idx = {label: i for i, label in enumerate(self.G.node_ids)}
+        n = self.G.num_nodes
+        A = np.zeros((n, n), np.float64)
+        raw = np.genfromtxt(path, delimiter=delimiter, dtype=np.int64)
+        raw = raw.reshape(-1, 2)
+        for a, b in raw:
+            ia, ib = idx.get(int(a)), idx.get(int(b))
+            if ia is not None and ib is not None:
+                A[ia, ib] = A[ib, ia] = 1.0
+        return A
+
     def label_of(self, index: int):
         """Array index -> original node label (``np2nx``,
         ``network_reconstruction_nx.py:74-78``)."""

@@ -12,7 +12,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["display_dictionary", "display_network_dictionary",
-           "display_recons_panel"]
+           "display_recons_panel", "display_second_dictionary",
+           "display_errors_comparison", "display_dictionary_color_combine"]
 
 
 def _grid_dims(r: int, grid_shape=None):
@@ -127,6 +128,74 @@ def display_recons_panel(W_list, A_recons_list, originals, patch_size: int,
             ax.set_xticks([]); ax.set_yticks([])
     if title:
         plt.suptitle(title, fontsize=20)
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+    return save_path
+
+
+def display_second_dictionary(H, patch_size: int, *,
+                              save_path: str | None = None,
+                              show: bool = False):
+    """Heatmap of a second (e.g. channel) factor matrix — the reference's
+    ``display_second_dictionary``
+    (``image_reconstruction_tensor.py:177-185``)."""
+    import matplotlib
+    if save_path and not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(nrows=1, ncols=1, figsize=(6, 2),
+                           subplot_kw={"xticks": [], "yticks": []})
+    ax.imshow(np.asarray(H))
+    plt.tight_layout()
+    plt.suptitle(
+        f"Dictionary learned from patches of size {patch_size}",
+        fontsize=16)
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+    return save_path
+
+
+def display_errors_comparison(errors_by_label: dict, *,
+                              total_updates: float | None = None,
+                              normalize: float = 1.0,
+                              xlabel: str = "", ylabel: str = "",
+                              save_path: str | None = None,
+                              show: bool = False):
+    """Overlayed error traces for runs at different subsampling epochs —
+    the reference's ``display_errors``
+    (``ising_reconstruction.py:203-221``), generalized: takes the traces
+    directly ({label: 1-D array}) instead of hard-coded .npy paths.
+
+    ``total_updates`` rescales each trace's x-axis to a common span (the
+    reference plots ``500 * arange(len(e)) / len(e)``); ``normalize``
+    divides the error values (the reference divides by the lattice site
+    count, 40000)."""
+    import matplotlib
+    if save_path and not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(nrows=1, ncols=1, figsize=(4, 4))
+    for label, e in errors_by_label.items():
+        e = np.asarray(e)
+        if total_updates is not None and len(e) > 0:
+            x = total_updates * np.arange(len(e)) / len(e)
+        else:
+            x = np.arange(len(e))
+        ax.plot(x, e / normalize, label=str(label))
+    ax.legend()
+    if xlabel:
+        ax.set_xlabel(xlabel)
+    if ylabel:
+        ax.set_ylabel(ylabel)
+    plt.tight_layout()
     if save_path:
         fig.savefig(save_path, bbox_inches="tight")
     if show:
