@@ -135,14 +135,14 @@ def bench_arxiv(data_dir, fast):
 
     g = load_edgelist_bitset(f"{data_dir}/Networks/arxiv.txt")
     rec = NetworkReconstructor(
-        source=g, n_components=25, MCMC_iterations=20, sub_iterations=20,
-        sample_size=500, batch_size=20, k1=0, k2=2, alpha=0.1,
-        is_glauber_recons=False, fast=fast, num_chains=8)
+        source=g, n_components=25, MCMC_iterations=50, sub_iterations=30,
+        sample_size=1000, batch_size=50, k1=0, k2=2, alpha=0.1,
+        is_glauber_recons=False, fast=fast, num_chains=16)
     t0 = time.time()
     rec.train_dict(); fence(rec.W)
     train_s = time.time() - t0
     t0 = time.time()
-    edges = rec.reconstruct_network(recons_iter=100_000, num_chains=64)
+    edges = rec.reconstruct_network(recons_iter=400_000, num_chains=256)
     acc = rec.compute_recons_accuracy()
     recon_s = time.time() - t0
     return {"nodes": g.num_nodes, "edges": g.num_edges,
@@ -191,9 +191,19 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
+    # merge over existing keys (e.g. recon_err_vs_reference from
+    # reference_parity.py) instead of clobbering the file
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            merged = {}
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps(results))
+        json.dump(merged, f, indent=2)
+    print(json.dumps(merged))
 
 
 if __name__ == "__main__":
