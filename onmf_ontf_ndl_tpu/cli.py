@@ -154,9 +154,15 @@ def main(argv=None):
                                        save_path=f"{args.out_dir}/dict.png")
         save_state(f"{args.out_dir}/state.npz", app.state)
         if not args.no_recons:
-            recon = app.reconstruct_network(recons_iter=cfg.recons_iter)
+            recon = app.reconstruct_network(recons_iter=cfg.recons_iter,
+                                            num_chains=cfg.recons_chains)
             acc = app.compute_recons_accuracy()
-            np.save(f"{args.out_dir}/recons_adj.npy", np.asarray(recon))
+            if app.G_recons_edges is not None:
+                # sparse (edge-array) form: export an edge list instead
+                # of a dense adjacency
+                app.write_edgelist(f"{args.out_dir}/recons_edges.txt")
+            else:
+                np.save(f"{args.out_dir}/recons_adj.npy", np.asarray(recon))
             meta["recons_accuracy"] = acc
     elif args.cmd == "video":
         W = app.train_dict(epochs=cfg.epochs)

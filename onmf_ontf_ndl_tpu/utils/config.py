@@ -129,6 +129,13 @@ class NetworkConfig:
     is_glauber_recons: bool = False
     weighted_patches: bool = False
     recons_iter: int = 10000
+    # scale knobs (no reference analogue): fixed-sweep kernels, chain
+    # ensembles, bit-packed adjacency for beyond-dense graphs, and the
+    # O(samples)-memory sparse reconstruction
+    fast: bool = False
+    num_chains: int = 1
+    recons_chains: int = 1
+    use_bitset: bool = False
     seed: int = 0
 
     def build(self):
@@ -149,17 +156,25 @@ class NetworkConfig:
                 sample_size=self.sample_size, batch_size=self.batch_size,
                 k1=self.k1, k2=self.k2, alpha=self.alpha,
                 is_glauber_dict=self.is_glauber_dict,
-                is_glauber_recons=self.is_glauber_recons, seed=self.seed,
+                is_glauber_recons=self.is_glauber_recons,
+                fast=self.fast, num_chains=self.num_chains, seed=self.seed,
             )
+        if self.use_bitset:
+            from onmf_ontf_ndl_tpu.data.graphs import load_edgelist_bitset
+
+            source = load_edgelist_bitset(self.source)
+        else:
+            source = self.source
         return NetworkReconstructor(
-            source=self.source, n_components=self.n_components,
+            source=source, n_components=self.n_components,
             MCMC_iterations=self.MCMC_iterations,
             sub_iterations=self.sub_iterations,
             sample_size=self.sample_size, batch_size=self.batch_size,
             k1=self.k1, k2=self.k2, alpha=self.alpha,
             weighted_patches=self.weighted_patches,
             is_glauber_dict=self.is_glauber_dict,
-            is_glauber_recons=self.is_glauber_recons, seed=self.seed,
+            is_glauber_recons=self.is_glauber_recons,
+            fast=self.fast, num_chains=self.num_chains, seed=self.seed,
         )
 
 

@@ -16,3 +16,13 @@ import jax
 # update after import is the reliable way to force the CPU backend.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite is compile-bound on this
+# single-core host (hundreds of distinct jitted shapes), and repeat runs
+# should not pay XLA again. Works on the CPU backend with the zeroed
+# thresholds below (verified on jax 0.9).
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -100,8 +100,8 @@ def test_extract_patches_grid_matches_corner_form():
     from onmf_ontf_ndl_tpu.ops.patches import extract_patches_grid
 
     for color in (True, False):
-        img = RNG.random((23, 31, 3) if color else (23, 31))
-        for stride, inclusive in [(1, True), (1, False), (3, False), (5, False)]:
+        img = RNG.random((19, 23, 3) if color else (19, 23))
+        for stride, inclusive in [(1, True), (3, False), (5, False)]:
             if inclusive:
                 corners = all_patch_corners(img.shape[:2], 4)
             else:
@@ -115,9 +115,12 @@ def test_extract_patches_grid_matches_corner_form():
 def test_overlap_average_grid_matches_corner_form():
     from onmf_ontf_ndl_tpu.ops.patches import overlap_average_grid
 
-    for shape in [(18, 22, 3), (18, 22)]:
+    # shapes kept small: the corner-based oracle is a general scatter
+    # whose XLA compile time scales with the patch count (docs/DESIGN.md
+    # section 5) — each (shape, stride) combo is a fresh compile
+    for shape in [(14, 17, 3), (14, 17)]:
         k = 5
-        for stride, inclusive in [(1, True), (2, False), (4, False)]:
+        for stride, inclusive in [(1, True), (3, False)]:
             if inclusive:
                 corners = all_patch_corners(shape[:2], k)
             else:

@@ -191,3 +191,42 @@ def test_viz_color_combine(tmp_path):
     p = viz.display_dictionary_color_combine(
         W, H, 5, save_path=str(tmp_path / "cc.png"))
     assert os.path.getsize(p) > 0
+
+
+def test_cli_network_bitset_sparse_end_to_end(tmp_path):
+    # exercise the scale knobs: bitset ingest + chain ensembles + the
+    # sparse (edge-list) reconstruction export
+    import numpy as np
+    edges = []
+    m = 6
+    for i in range(m):
+        for j in range(m):
+            u = i * m + j
+            edges.append((u, ((i + 1) % m) * m + j))
+            edges.append((u, i * m + (j + 1) % m))
+    ef = tmp_path / "torus_edges.txt"
+    with open(ef, "w") as f:
+        for a, b in edges:
+            f.write(f"{a},{b}\n")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = ""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from onmf_ontf_ndl_tpu.cli import main;"
+        f"main(['network','--out-dir',{str(tmp_path)!r},"
+        f"'--source',{str(ef)!r},'--use-bitset','true','--fast','true',"
+        "'--n-components','4','--mcmc-iterations','2',"
+        "'--sub-iterations','3','--sample-size','20','--batch-size','5',"
+        "'--k1','0','--k2','1','--num-chains','2','--recons-chains','2',"
+        "'--recons-iter','200'])"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    meta = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "recons_accuracy" in meta
+    # BitsetGraph auto-routes to the sparse reconstruction -> edge list
+    assert os.path.exists(tmp_path / "recons_edges.txt")
+    assert np.genfromtxt(tmp_path / "recons_edges.txt",
+                         delimiter=",").shape[1] == 2
