@@ -400,14 +400,16 @@ class NetworkReconstructor:
         ``sparse=False`` returns a dense boolean (N, N) matrix;
         ``sparse=True`` returns a (num_edges, 2) int array of undirected
         simple-graph edges, computed with O(samples) memory — the path
-        that scales to the arxiv/facebook graphs. ``sparse=None`` picks
-        dense below 4096 nodes, sparse above (and always sparse for a
-        BitsetGraph). Both paths implement the same per-edge-mean +
-        rounding semantics. ``num_chains > 1`` splits the chain work over
-        an ensemble."""
+        that scales to the arxiv/facebook graphs. ``sparse=None`` keeps
+        the return type a function of the graph REPRESENTATION only
+        (type-stable for callers): dense for a dense :class:`Graph`,
+        sparse for a :class:`BitsetGraph` (whose whole point is never
+        materializing (N, N)); pass ``sparse=True`` explicitly for a
+        large dense-represented graph. Both paths implement the same
+        per-edge-mean + rounding semantics. ``num_chains > 1`` splits the
+        chain work over an ensemble."""
         if sparse is None:
-            sparse = (isinstance(self.G, BitsetGraph)
-                      or self.G.num_nodes > 4096)
+            sparse = isinstance(self.G, BitsetGraph)
         self.key, rk = jax.random.split(self.key)
         if not sparse:
             recon, cnt = reconstruct_network(
@@ -428,8 +430,13 @@ class NetworkReconstructor:
             use_glauber=self.is_glauber_recons,
             weighted=self.weighted_patches, num_chains=num_chains,
         )
-        ii, jj = np.asarray(ii), np.asarray(jj)
-        mean, cnt = np.asarray(mean), np.asarray(cnt)
+        # segment ids are a cumsum, so real segments occupy a contiguous
+        # prefix: fetch its length as one scalar, then ship only the
+        # prefix (the padded tails are recons_iter*k^2 long — tens of MB
+        # at arxiv scale over the ~1 MB/s axon host link)
+        n_seg = int(jnp.sum(cnt > 0))
+        ii, jj = np.asarray(ii[:n_seg]), np.asarray(jj[:n_seg])
+        mean, cnt = np.asarray(mean[:n_seg]), np.asarray(cnt[:n_seg])
         keep = (cnt > 0) & (np.round(mean) > 0)
         lo = np.minimum(ii[keep], jj[keep])
         hi = np.maximum(ii[keep], jj[keep])
@@ -528,14 +535,18 @@ class NetworkReconstructor:
         return cov
 
     def has_edge(self, i, j) -> np.ndarray:
-        """Vectorized host-side edge test on either graph representation."""
+        """Vectorized edge test on either graph representation.
+
+        Gathers on DEVICE and fetches only the E tested words — never the
+        full adjacency (the bitset matrix is tens of MB at arxiv scale,
+        and the axon host link runs ~1 MB/s)."""
         i = np.asarray(i)
         j = np.asarray(j)
         if isinstance(self.G, BitsetGraph):
-            bits = np.asarray(self.G.bits)
-            return ((bits[i, j // 32] >> (j % 32).astype(np.uint32)) & 1
-                    ).astype(bool)
-        return np.asarray(self.G.adj)[i, j]
+            words = np.asarray(self.G.bits[jnp.asarray(i),
+                                           jnp.asarray(j // 32)])
+            return ((words >> (j % 32).astype(np.uint32)) & 1).astype(bool)
+        return np.asarray(self.G.adj[jnp.asarray(i), jnp.asarray(j)])
 
     def compute_recons_accuracy(self, G_recons=None):
         """``|E(G & G_recons)| / |E(G)|``

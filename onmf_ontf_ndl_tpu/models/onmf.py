@@ -182,11 +182,13 @@ def _step_inner(
 ):
     """onmf_step with the stopping rule threaded as a traced value.
 
-    backend="pallas" (fixed-sweep path only) fuses the Gauss-Seidel
-    sweeps and the BCD dictionary update into single TPU kernels
-    (ops/pallas/coder_kernel.py); numerics agree with the XLA path to
-    float32 accumulation-order tolerance (~1e-3 relative after 10
-    ReLU-thresholded sweeps).
+    backend="pallas" fuses the Gauss-Seidel sweeps (fixed-sweep or
+    per-tile early-stopping, by use_stopping) and the BCD dictionary
+    update into single TPU kernels (ops/pallas/coder_kernel.py);
+    numerics agree with the XLA path to float32 accumulation-order
+    tolerance (~1e-3 relative after 10 ReLU-thresholded sweeps; the
+    early-stopping kernel additionally differs up to the stopping
+    tolerance on multi-tile batches, PARITY.md #8).
 
     psum_axis: when running inside shard_map with the batch columns
     sharded over that mesh axis, the sufficient statistics are psum'd so

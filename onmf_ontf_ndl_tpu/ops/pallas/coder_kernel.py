@@ -153,8 +153,17 @@ def _lambda_max(G, iters: int):
     Rayleigh quotient after ``iters`` normalized power steps is accurate
     to ~(lambda2/lambda1)^(2*iters) relative — far tighter than the 0.01
     relative-change threshold it feeds.
+
+    The start vector is a fixed pseudo-random positive vector (a
+    row-sum start ``G @ 1`` has a structured blind spot: deltas whose
+    per-column rank sums cancel give ``G @ 1 ~= 0`` and would read as a
+    spuriously tiny norm). An unstructured start is orthogonal to the
+    top eigenvector only on a measure-zero set, and the Rayleigh
+    quotient only ever under-estimates, never inflates.
     """
-    v = jnp.sum(G, axis=1, keepdims=True)  # (R, 1) start vector
+    r = G.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    v = 0.5 + ((idx * 40503) % 65536).astype(jnp.float32) / 65536.0
 
     def it(_, v):
         w = jax.lax.dot_general(G, v, (((1,), (0,)), ((), ())),

@@ -120,7 +120,9 @@ def test_overlap_average_grid_matches_corner_form():
     # section 5) — each (shape, stride) combo is a fresh compile
     for shape in [(14, 17, 3), (14, 17)]:
         k = 5
-        for stride, inclusive in [(1, True), (3, False)]:
+        # keep one even stride: its k=5 remainder pattern differs from
+        # the odd-stride tilings
+        for stride, inclusive in [(1, True), (2, False), (3, False)]:
             if inclusive:
                 corners = all_patch_corners(shape[:2], k)
             else:
