@@ -148,6 +148,11 @@ def main():
         "recon_rel_err_ours": round(err_ours, 5),
         "relative_gap": round(rel, 5),
         "within_1pct": bool(rel <= 0.01),
+        # walls at the matched config (ours here runs on CPU float64 for
+        # numerics parity; the TPU walls live in results.json's
+        # image_grayscale_onmf entry)
+        "wall_s_reference": round(t_ref, 2),
+        "wall_s_ours_cpu": round(t_ours, 2),
     }
     print(json.dumps(result))
     if args.out:

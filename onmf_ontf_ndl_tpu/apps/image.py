@@ -217,8 +217,16 @@ class ImageReconstructor:
         self.state = dataclasses.replace(
             self.state, W=jnp.asarray(value, self.dtype))
 
-    def train_dict(self):
+    def train_dict(self, checkpoint_path: str | None = None,
+                   checkpoint_every: int = 0):
         """Run the full streaming training; returns the dictionary (d, r).
+
+        ``checkpoint_path`` + ``checkpoint_every=N`` chunk the outer loop
+        into runs of N iterations with a full-state checkpoint written
+        between chunks (restartability for long runs; resume is exact —
+        the checkpoint carries the PRNG key and the t^-beta schedule
+        counter, ``tests/test_utils.py`` exact-resume). Each chunk reuses
+        the same compiled program when N divides the remaining work.
 
         With ``is_stack=True`` the outer loop streams over the stacked
         matrices (one warm-started round per frame,
@@ -245,18 +253,31 @@ class ImageReconstructor:
             return self.state.W
         from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
 
-        self.state = train_image_dict(
-            self.state, self.data,
-            outer_iterations=self.iterations,
-            num_patches=self.num_patches,
-            inner_iterations=self.sub_iterations,
-            batch_size=self.batch_size,
-            patch_size=self.patch_size,
-            alpha=self.alpha, beta=self.beta,
-            use_stopping=not self.fast,
-            backend=resolve_backend("auto", not self.fast),
-            subsample=self.subsample,
-        )
+        def run(st, outer):
+            return train_image_dict(
+                st, self.data,
+                outer_iterations=outer,
+                num_patches=self.num_patches,
+                inner_iterations=self.sub_iterations,
+                batch_size=self.batch_size,
+                patch_size=self.patch_size,
+                alpha=self.alpha, beta=self.beta,
+                use_stopping=not self.fast,
+                backend=resolve_backend("auto", not self.fast),
+                subsample=self.subsample,
+            )
+
+        if checkpoint_path and checkpoint_every > 0:
+            from onmf_ontf_ndl_tpu.utils.checkpoint import save_state
+
+            done = 0
+            while done < self.iterations:
+                chunk = min(checkpoint_every, self.iterations - done)
+                self.state = run(self.state, chunk)
+                done += chunk
+                save_state(checkpoint_path, self.state)
+        else:
+            self.state = run(self.state, self.iterations)
         return self.state.W
 
     def extract_patches(self, num_patches: int | None = None, seed: int = 23):

@@ -108,6 +108,12 @@ def ndl_train(
         return _sample_patches_ensemble_impl(
             ck, g, emb, B_bytes, parents, per, use_glauber, weighted)
 
+    # the reference discards H from the FIRST MCMC iteration of a fresh
+    # training run (code += H only for t > 0,
+    # network_reconstruction_nx.py:360-377); a warm-started/chunked
+    # continuation (state.t > 0) has no "first iteration"
+    fresh = state.t == 0
+
     def body(carry, i):
         st, emb, code = carry
         key, ck, = jax.random.split(st.key)
@@ -118,9 +124,7 @@ def ndl_train(
             inner_iterations, batch_size, subsample, sub_iter,
             use_stopping, True, "stale", backend=backend,
         )
-        # the reference discards H from the first MCMC iteration
-        # (code += H only for t > 0, network_reconstruction_nx.py:360-377)
-        code = jnp.where(i > 0, code_new, code)
+        code = jnp.where(jnp.logical_and(fresh, i == 0), code, code_new)
         return (st, emb, code), None
 
     (state, emb, code), _ = lax.scan(
@@ -373,24 +377,46 @@ class NetworkReconstructor:
         self.state = dataclasses.replace(
             self.state, W=jnp.asarray(value, self.dtype))
 
-    def train_dict(self):
-        """Run the fused NDL training; returns the dictionary (k^2, r)."""
+    def train_dict(self, checkpoint_path: str | None = None,
+                   checkpoint_every: int = 0):
+        """Run the fused NDL training; returns the dictionary (k^2, r).
+
+        ``checkpoint_path`` + ``checkpoint_every=N`` chunk the MCMC outer
+        loop into runs of N iterations with a full-state checkpoint
+        between chunks (the code matrix's first-iteration discard keys on
+        ``state.t == 0``, so continuation is exact)."""
         from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
 
-        self.state, self.code, self.emb = ndl_train(
-            self.state, self.G, self.emb, self._B_bytes, self._parents,
-            mcmc_iterations=self.MCMC_iterations,
-            sample_size=self.sample_size,
-            inner_iterations=self.sub_iterations,
-            batch_size=self.batch_size,
-            alpha=self.alpha,
-            use_glauber=self.is_glauber_dict,
-            weighted=self.weighted_patches,
-            use_stopping=not self.fast,
-            backend=resolve_backend("auto", not self.fast),
-            num_chains=self.num_chains,
-            subsample=self.subsample,
-        )
+        def run(mcmc):
+            self.state, code_new, self.emb = ndl_train(
+                self.state, self.G, self.emb, self._B_bytes, self._parents,
+                mcmc_iterations=mcmc,
+                sample_size=self.sample_size,
+                inner_iterations=self.sub_iterations,
+                batch_size=self.batch_size,
+                alpha=self.alpha,
+                use_glauber=self.is_glauber_dict,
+                weighted=self.weighted_patches,
+                use_stopping=not self.fast,
+                backend=resolve_backend("auto", not self.fast),
+                num_chains=self.num_chains,
+                subsample=self.subsample,
+            )
+            return code_new
+
+        if checkpoint_path and checkpoint_every > 0:
+            from onmf_ontf_ndl_tpu.utils.checkpoint import save_state
+
+            done = 0
+            while done < self.MCMC_iterations:
+                chunk = min(checkpoint_every, self.MCMC_iterations - done)
+                code_new = run(chunk)
+                # chunks accumulate into the instance code matrix
+                self.code = self.code + code_new if done else code_new
+                done += chunk
+                save_state(checkpoint_path, self.state)
+        else:
+            self.code = run(self.MCMC_iterations)
         return self.state.W
 
     def reconstruct_network(self, recons_iter: int = 100, alpha: float = 0.0,

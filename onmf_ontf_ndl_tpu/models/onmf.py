@@ -395,3 +395,37 @@ class OnlineNMF:
         st = self.state
         Ct = st.C if st.tracks_xxt else None
         return st.W, st.A, st.B, Ct, self.code
+
+    # ------------------------------------------------------ sklearn-style
+    # Convenience shims for users coming from sklearn's NMF/SparseCoder
+    # (the reference itself leans on sklearn for coding, src/ontf.py:80-86).
+    # Conventions follow sklearn decomposition: samples are ROWS here,
+    # while the native API is columns-as-samples.
+
+    @property
+    def components_(self):
+        """(r, d) dictionary with atoms as rows (sklearn convention)."""
+        return self.state.W.T
+
+    def fit(self, X=None):
+        """Run the configured training on ``X`` (samples x features; the
+        instance's matrix when omitted). Returns self."""
+        if X is not None:
+            self.X = jnp.asarray(X, self.dtype).T
+            self.code = jnp.zeros((self.n_components, self.X.shape[1]),
+                                  self.dtype)
+        self.train_dict()
+        return self
+
+    def transform(self, X):
+        """Nonnegative codes of ``X`` (samples x features) against the
+        learned dictionary; returns (samples, r)."""
+        return self.sparse_code(jnp.asarray(X, self.dtype).T,
+                                self.state.W).T
+
+    def fit_transform(self, X):
+        return self.fit(X).transform(X)
+
+    def inverse_transform(self, H):
+        """(samples, r) codes -> (samples, d) reconstruction."""
+        return (self.state.W @ jnp.asarray(H, self.dtype).T).T
