@@ -83,13 +83,14 @@ def _coder_kernel(alpha_ref, inv_diag_ref, A_ref, B_ref, H0_ref, H_ref, *,
 @functools.partial(
     jax.jit, static_argnames=("sub_iter", "block_n", "interpret"))
 def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
-                 alpha=0.0, *, sub_iter: int = 10, block_n: int = 4096,
+                 alpha=0.0, *, sub_iter: int = 10,
+                 block_n: int | None = None,
                  interpret: bool = False) -> jax.Array:
-    # block_n=4096 default: the kernel's cost is dominated by the
-    # sub_iter x r sequential loop, so wider tiles (fewer grid cells =
-    # fewer total loop iterations) win as long as the 4 (R, TN) f32
-    # buffers fit VMEM — ~2 MB at r<=32, ~8 MB at r=128. Measured on
-    # v5e: 512 -> 9.7M, 4096 -> 17.3M patches/s in the fused trainer.
+    # block_n=None -> widest tile the VMEM clamp allows: the kernel's
+    # cost is dominated by the sub_iter x r sequential loop, so wider
+    # tiles (fewer grid cells = fewer total sequential iterations) win
+    # as long as the 4 (R, TN) f32 buffers fit VMEM. Measured on v5e in
+    # the fused trainer: 512 -> 9.7M, 4096 -> 17.3M patches/s.
     """Fused nonnegative sparse-coding sweeps from Gram form.
 
     Args:
@@ -112,7 +113,7 @@ def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
     # VMEM budget at large ranks
     vmem_budget = 8 * 1024 * 1024
     max_tn = max(512, (vmem_budget // (4 * 4 * R)) // 128 * 128)
-    TN = min(block_n, max_tn, _round_up(n, 128))
+    TN = min(block_n if block_n else max_tn, max_tn, _round_up(n, 128))
     N = _round_up(n, TN)
     f32 = jnp.float32
     Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
@@ -235,7 +236,7 @@ def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, A_ref, B_ref, H0_ref,
     jax.jit, static_argnames=("sub_iter", "block_n", "pi_iters", "interpret"))
 def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
                            alpha=0.0, stopping_diff=0.01, *,
-                           sub_iter: int = 10, block_n: int = 4096,
+                           sub_iter: int = 10, block_n: int | None = None,
                            pi_iters: int = 24,
                            interpret: bool = False) -> jax.Array:
     """Fused early-stopping nonnegative sparse coding from Gram form.
@@ -261,7 +262,7 @@ def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
     # 4 (R, TN) f32 tiles (B, H0, H, Hold scratch) within ~8 MB VMEM
     vmem_budget = 8 * 1024 * 1024
     max_tn = max(512, (vmem_budget // (4 * 5 * R)) // 128 * 128)
-    TN = min(block_n, max_tn, _round_up(n, 128))
+    TN = min(block_n if block_n else max_tn, max_tn, _round_up(n, 128))
     N = _round_up(n, TN)
     f32 = jnp.float32
     Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))

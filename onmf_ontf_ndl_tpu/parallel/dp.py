@@ -42,10 +42,10 @@ def shard_batch(mesh: Mesh, X: jax.Array, axis: str = "dp") -> jax.Array:
 
 
 @functools.lru_cache(maxsize=64)
-def _dp_step_fn(mesh, sub_iter, use_stopping, dict_from, axis):
+def _dp_step_fn(mesh, sub_iter, use_stopping, dict_from, axis, backend):
     def local(st, X, t, H0, sd, alpha, beta):
         return _step_inner(st, X, t, H0, alpha, beta, sub_iter,
-                           use_stopping, sd, dict_from, "xla", axis)
+                           use_stopping, sd, dict_from, backend, axis)
 
     return jax.jit(shard_map(
         local, mesh=mesh,
@@ -68,6 +68,7 @@ def dp_onmf_step(
     stopping_diff: float | None = None,
     dict_from: str = "stale",
     axis: str = "dp",
+    backend: str = "auto",
 ):
     """One data-parallel online-NMF step.
 
@@ -91,23 +92,27 @@ def dp_onmf_step(
                                 dtype=state.W.dtype)
         H0 = shard_batch(mesh, H0, axis)
 
+    from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
     use_stopping = stopping_diff is not None
     sd = jnp.asarray(stopping_diff if use_stopping else 0.0, state.W.dtype)
-    step = _dp_step_fn(mesh, int(sub_iter), use_stopping, dict_from, axis)
+    step = _dp_step_fn(mesh, int(sub_iter), use_stopping, dict_from, axis,
+                       resolve_backend(backend, use_stopping))
     return step(state, X, t, H0, sd,
                 jnp.asarray(alpha, state.W.dtype),
                 jnp.asarray(beta, state.W.dtype))
 
 
 @functools.lru_cache(maxsize=64)
-def _dp_train_fn(mesh, iterations, batch_size, sub_iter, dict_from, axis):
+def _dp_train_fn(mesh, iterations, batch_size, sub_iter, dict_from, axis,
+                 backend):
     def local(st, X_local, alpha, beta):
         sd = jnp.asarray(0.0, X_local.dtype)
         st, _, _ = _train_scan(
             st, X_local, jnp.zeros((st.r, X_local.shape[1]), X_local.dtype),
             alpha, beta, sd,
             iterations, batch_size, True, sub_iter,
-            False, False, dict_from, backend="xla", psum_axis=axis,
+            False, False, dict_from, backend=backend, psum_axis=axis,
         )
         return st
 
@@ -131,6 +136,7 @@ def dp_train_dict(
     sub_iter: int = 10,
     dict_from: str = "stale",
     axis: str = "dp",
+    backend: str = "auto",
 ):
     """Data-parallel ``train_dict``: every device subsamples its own
     ``batch_size_per_device`` columns from its shard each iteration;
@@ -145,15 +151,18 @@ def dp_train_dict(
         raise ValueError(
             f"dp_train_dict: data columns ({n}) must divide evenly over "
             f"the {ndev}-way '{axis}' mesh axis")
+    from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
     train = _dp_train_fn(mesh, int(iterations), int(batch_size_per_device),
-                         int(sub_iter), dict_from, axis)
+                         int(sub_iter), dict_from, axis,
+                         resolve_backend(backend, False))
     return train(state, shard_batch(mesh, X, axis),
                  jnp.asarray(alpha, X.dtype), jnp.asarray(beta, X.dtype))
 
 
 @functools.lru_cache(maxsize=64)
 def _dp_image_fn(mesh, outer_iterations, num_patches, inner_iterations,
-                 batch_size, patch_size, sub_iter, dict_from, axis):
+                 batch_size, patch_size, sub_iter, dict_from, axis, backend):
     from onmf_ontf_ndl_tpu.ops.patches import (
         extract_patches, random_patch_corners)
 
@@ -174,7 +183,7 @@ def _dp_image_fn(mesh, outer_iterations, num_patches, inner_iterations,
                 st, X, jnp.zeros((st.r, num_patches), img.dtype),
                 alpha, beta, sd,
                 inner_iterations, batch_size, True, sub_iter,
-                False, False, dict_from, backend="xla", psum_axis=axis,
+                False, False, dict_from, backend=backend, psum_axis=axis,
             )
             return st, None
 
@@ -204,15 +213,19 @@ def dp_train_image_dict(
     sub_iter: int = 10,
     dict_from: str = "stale",
     axis: str = "dp",
+    backend: str = "auto",
 ):
     """Data-parallel fused image trainer: every device samples its own
     random patches from the (replicated) image and runs the shared inner
     scan with psum'd aggregate statistics — the multi-chip version of
     :func:`onmf_ontf_ndl_tpu.apps.image.train_image_dict`.
     """
+    from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
     train = _dp_image_fn(mesh, int(outer_iterations),
                          int(num_patches_per_device), int(inner_iterations),
                          int(batch_size_per_device), int(patch_size),
-                         int(sub_iter), dict_from, axis)
+                         int(sub_iter), dict_from, axis,
+                         resolve_backend(backend, False))
     return train(state, img, jnp.asarray(alpha, img.dtype),
                  jnp.asarray(beta, img.dtype))
