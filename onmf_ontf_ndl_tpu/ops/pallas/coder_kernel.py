@@ -38,6 +38,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_tile(n: int, block_n: int | None, max_tn: int) -> int:
+    """Column-tile width: the widest VMEM-safe tile, BALANCED over the
+    grid cells n actually needs (n=16384 with max_tn=13056 gets two 8192
+    tiles, not 13056 + a half-padding tile). An explicit block_n still
+    wins (clamped to the VMEM limit)."""
+    if block_n:
+        return min(block_n, max_tn, _round_up(n, 128))
+    cells = -(-n // max_tn)
+    return min(max_tn, _round_up(-(-n // cells), 128))
+
+
 def _coder_kernel(alpha_ref, inv_diag_ref, A_ref, B_ref, H0_ref, H_ref, *,
                   r, sub_iter, nonneg_norm):
     """One grid cell: full sweep schedule on an (R, TN) tile of H.
@@ -113,7 +124,7 @@ def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
     # VMEM budget at large ranks
     vmem_budget = 8 * 1024 * 1024
     max_tn = max(512, (vmem_budget // (4 * 4 * R)) // 128 * 128)
-    TN = min(block_n if block_n else max_tn, max_tn, _round_up(n, 128))
+    TN = _pick_tile(n, block_n, max_tn)
     N = _round_up(n, TN)
     f32 = jnp.float32
     Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
@@ -262,7 +273,7 @@ def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
     # 4 (R, TN) f32 tiles (B, H0, H, Hold scratch) within ~8 MB VMEM
     vmem_budget = 8 * 1024 * 1024
     max_tn = max(512, (vmem_budget // (4 * 5 * R)) // 128 * 128)
-    TN = min(block_n if block_n else max_tn, max_tn, _round_up(n, 128))
+    TN = _pick_tile(n, block_n, max_tn)
     N = _round_up(n, TN)
     f32 = jnp.float32
     Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
