@@ -50,6 +50,14 @@ def bench_image(data_dir, fast):
     out = rec.reconstruct_image(path=path, downscale_factor=2)
     fence(out)
     recon_s = time.time() - t0
+    # steady-state inference (serving) throughput: the same full-grid
+    # reconstruction with the compile cached — every overlapping patch
+    # coded (10 sweeps) + overlap-folded
+    t0 = time.time()
+    out2 = rec.reconstruct_image(path=path, downscale_factor=2)
+    fence(out2)
+    recon_steady_s = time.time() - t0
+    n_grid_patches = (out.shape[0] - 10 + 1) * (out.shape[1] - 10 + 1)
     from onmf_ontf_ndl_tpu.data.images import load_image, downscale_local_mean
     ref = downscale_local_mean(load_image(path, is_color=False), 2)
     err = float(np.linalg.norm(np.asarray(out) - np.asarray(ref))
@@ -58,6 +66,8 @@ def bench_image(data_dir, fast):
     return {"train_s": round(train_s, 2),
             "train_steady_s": round(train_steady_s, 3),
             "recon_s": round(recon_s, 2),
+            "recon_steady_s": round(recon_steady_s, 3),
+            "inference_patches_per_s": round(n_grid_patches / recon_steady_s),
             "patches_per_s": round(steps / train_steady_s),
             "recon_rel_err": round(err, 4)}
 
