@@ -161,6 +161,31 @@ def bench_arxiv(data_dir, fast):
             "recons_accuracy": round(acc, 4)}
 
 
+def bench_facebook(data_dir, fast):
+    """The reference main()'s own config: facebook_combined (4039 nodes,
+    88k edges), 21-node path motif k1=0/k2=20, rank 25
+    (``network_reconstruction_nx.py:536-574``)."""
+    import jax.numpy as jnp
+    from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
+
+    rec = NetworkReconstructor(
+        source=f"{data_dir}/Networks/facebook_combined.txt",
+        n_components=25, MCMC_iterations=20, sub_iterations=20,
+        sample_size=500, batch_size=20, k1=0, k2=20, alpha=0.1,
+        is_glauber_dict=True, is_glauber_recons=False, fast=fast,
+        num_chains=8)
+    t0 = time.time()
+    rec.train_dict(); fence(rec.W)
+    train_s = time.time() - t0
+    t0 = time.time()
+    rec.reconstruct_network(recons_iter=20_000, num_chains=64)
+    acc = rec.compute_recons_accuracy()
+    recon_s = time.time() - t0
+    return {"nodes": rec.G.num_nodes,
+            "train_s": round(train_s, 2), "recon_s": round(recon_s, 2),
+            "recons_accuracy": round(acc, 4)}
+
+
 def bench_video(data_dir, fast):
     from onmf_ontf_ndl_tpu.apps.video import VideoDictionaryLearner
 
@@ -190,6 +215,8 @@ def main():
         ("network_dictionary_learning",
          lambda: bench_network(args.data, args.fast)),
         ("arxiv_scale_ndl", lambda: bench_arxiv(args.data, args.fast)),
+        ("facebook_ndl_reference_main_config",
+         lambda: bench_facebook(args.data, args.fast)),
         ("streaming_video", lambda: bench_video(args.data, args.fast)),
     ]:
         try:
