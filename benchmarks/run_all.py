@@ -57,7 +57,8 @@ def bench_image(data_dir, fast):
     out2 = rec.reconstruct_image(path=path, downscale_factor=2)
     fence(out2)
     recon_steady_s = time.time() - t0
-    n_grid_patches = (out.shape[0] - 10 + 1) * (out.shape[1] - 10 + 1)
+    k = rec.patch_size
+    n_grid_patches = (out.shape[0] - k + 1) * (out.shape[1] - k + 1)
     from onmf_ontf_ndl_tpu.data.images import load_image, downscale_local_mean
     ref = downscale_local_mean(load_image(path, is_color=False), 2)
     err = float(np.linalg.norm(np.asarray(out) - np.asarray(ref))

@@ -218,15 +218,19 @@ class ImageReconstructor:
             self.state, W=jnp.asarray(value, self.dtype))
 
     def train_dict(self, checkpoint_path: str | None = None,
-                   checkpoint_every: int = 0):
+                   checkpoint_every: int = 0, resume: bool = False):
         """Run the full streaming training; returns the dictionary (d, r).
 
         ``checkpoint_path`` + ``checkpoint_every=N`` chunk the outer loop
-        into runs of N iterations with a full-state checkpoint written
-        between chunks (restartability for long runs; resume is exact —
-        the checkpoint carries the PRNG key and the t^-beta schedule
-        counter, ``tests/test_utils.py`` exact-resume). Each chunk reuses
-        the same compiled program when N divides the remaining work.
+        (outer iterations; epochs on the ``is_stack`` path) into runs of
+        N with a full-state checkpoint written between chunks. Chunked
+        training equals the uninterrupted run exactly (the checkpoint
+        carries the PRNG key and the t^-beta schedule counter;
+        ``tests/test_production_api.py``). ``resume=True`` restarts an
+        interrupted run from the checkpoint: the completed outer count is
+        recovered from the schedule counter ``state.t`` (each outer
+        iteration advances it by ``sub_iterations``), so only the
+        REMAINING iterations run.
 
         With ``is_stack=True`` the outer loop streams over the stacked
         matrices (one warm-started round per frame,
@@ -234,50 +238,63 @@ class ImageReconstructor:
         ``iterations`` approximates the TOTAL number of rounds), the stack
         analogue of the reference's ``read_patches_stack`` path
         (``image_reconstruction.py:106-115,208-229``)."""
+        from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
         if self.is_stack:
             from onmf_ontf_ndl_tpu.apps.video import train_video_dict
 
-            from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+            total = max(1, self.iterations // self.data.shape[0])
+            # one outer unit on this path = one epoch over all frames,
+            # advancing state.t by sub_iterations * n_frames
+            t_per_unit = self.sub_iterations * self.data.shape[0]
 
-            self.state = train_video_dict(
-                self.state, self.data,
-                num_patches=self.num_patches,
-                inner_iterations=self.sub_iterations,
-                batch_size=self.batch_size,
-                patch_size=self.patch_size,
-                epochs=max(1, self.iterations // self.data.shape[0]),
-                alpha=self.alpha, beta=self.beta,
-                use_stopping=not self.fast,
-                backend=resolve_backend("auto", not self.fast),
-            )
-            return self.state.W
-        from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+            def run(st, units):
+                return train_video_dict(
+                    st, self.data,
+                    num_patches=self.num_patches,
+                    inner_iterations=self.sub_iterations,
+                    batch_size=self.batch_size,
+                    patch_size=self.patch_size,
+                    epochs=units,
+                    alpha=self.alpha, beta=self.beta,
+                    use_stopping=not self.fast,
+                    backend=resolve_backend("auto", not self.fast),
+                )
+        else:
+            total = self.iterations
+            t_per_unit = self.sub_iterations
 
-        def run(st, outer):
-            return train_image_dict(
-                st, self.data,
-                outer_iterations=outer,
-                num_patches=self.num_patches,
-                inner_iterations=self.sub_iterations,
-                batch_size=self.batch_size,
-                patch_size=self.patch_size,
-                alpha=self.alpha, beta=self.beta,
-                use_stopping=not self.fast,
-                backend=resolve_backend("auto", not self.fast),
-                subsample=self.subsample,
-            )
+            def run(st, units):
+                return train_image_dict(
+                    st, self.data,
+                    outer_iterations=units,
+                    num_patches=self.num_patches,
+                    inner_iterations=self.sub_iterations,
+                    batch_size=self.batch_size,
+                    patch_size=self.patch_size,
+                    alpha=self.alpha, beta=self.beta,
+                    use_stopping=not self.fast,
+                    backend=resolve_backend("auto", not self.fast),
+                    subsample=self.subsample,
+                )
 
         if checkpoint_path and checkpoint_every > 0:
-            from onmf_ontf_ndl_tpu.utils.checkpoint import save_state
+            import os as _os
+
+            from onmf_ontf_ndl_tpu.utils.checkpoint import (
+                load_state, save_state)
 
             done = 0
-            while done < self.iterations:
-                chunk = min(checkpoint_every, self.iterations - done)
+            if resume and _os.path.exists(checkpoint_path):
+                self.state = load_state(checkpoint_path, dtype=self.dtype)
+                done = int(round(float(self.state.t))) // t_per_unit
+            while done < total:
+                chunk = min(checkpoint_every, total - done)
                 self.state = run(self.state, chunk)
                 done += chunk
                 save_state(checkpoint_path, self.state)
         else:
-            self.state = run(self.state, self.iterations)
+            self.state = run(self.state, total)
         return self.state.W
 
     def extract_patches(self, num_patches: int | None = None, seed: int = 23):

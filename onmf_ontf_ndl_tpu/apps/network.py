@@ -59,6 +59,7 @@ __all__ = ["NetworkReconstructor", "ndl_train", "reconstruct_network",
         "B_bytes", "parents", "mcmc_iterations", "sample_size",
         "inner_iterations", "batch_size", "use_glauber", "weighted",
         "sub_iter", "use_stopping", "backend", "num_chains", "subsample",
+        "discard_first",
     ),
 )
 def ndl_train(
@@ -82,9 +83,16 @@ def ndl_train(
     backend: str = "xla",
     num_chains: int = 1,
     subsample: bool = False,
+    discard_first: bool = True,
 ):
     """Fused NDL trainer. Returns ``(state, code, emb)`` where code is the
     accumulated (r, sample_size) code matrix.
+
+    ``discard_first=True`` drops the code contribution of the first MCMC
+    iteration, matching the reference's per-call behavior (code += H only
+    for t > 0, ``network_reconstruction_nx.py:360-377``); a chunked
+    continuation of an interrupted run passes ``False`` so the discard
+    happens exactly once per logical training run.
 
     ``num_chains > 1`` samples each MCMC iteration's patch matrix from an
     ensemble of independent chains (``sample_size / num_chains`` moves
@@ -108,12 +116,6 @@ def ndl_train(
         return _sample_patches_ensemble_impl(
             ck, g, emb, B_bytes, parents, per, use_glauber, weighted)
 
-    # the reference discards H from the FIRST MCMC iteration of a fresh
-    # training run (code += H only for t > 0,
-    # network_reconstruction_nx.py:360-377); a warm-started/chunked
-    # continuation (state.t > 0) has no "first iteration"
-    fresh = state.t == 0
-
     def body(carry, i):
         st, emb, code = carry
         key, ck, = jax.random.split(st.key)
@@ -124,7 +126,10 @@ def ndl_train(
             inner_iterations, batch_size, subsample, sub_iter,
             use_stopping, True, "stale", backend=backend,
         )
-        code = jnp.where(jnp.logical_and(fresh, i == 0), code, code_new)
+        if discard_first:
+            code = jnp.where(i == 0, code, code_new)
+        else:
+            code = code_new
         return (st, emb, code), None
 
     (state, emb, code), _ = lax.scan(
@@ -378,16 +383,21 @@ class NetworkReconstructor:
             self.state, W=jnp.asarray(value, self.dtype))
 
     def train_dict(self, checkpoint_path: str | None = None,
-                   checkpoint_every: int = 0):
+                   checkpoint_every: int = 0, resume: bool = False):
         """Run the fused NDL training; returns the dictionary (k^2, r).
 
         ``checkpoint_path`` + ``checkpoint_every=N`` chunk the MCMC outer
-        loop into runs of N iterations with a full-state checkpoint
-        between chunks (the code matrix's first-iteration discard keys on
-        ``state.t == 0``, so continuation is exact)."""
+        loop into runs of N iterations with a checkpoint between chunks
+        carrying the FULL training state — optimizer pytree, chain
+        embedding(s), and accumulated code matrix — so chunked training
+        equals the uninterrupted run exactly. ``resume=True`` restarts an
+        interrupted run from the checkpoint, recovering the completed
+        MCMC-iteration count from the schedule counter ``state.t`` and
+        running only the remainder (the reference's first-iteration code
+        discard is applied exactly once per logical run)."""
         from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
 
-        def run(mcmc):
+        def run(mcmc, discard_first):
             self.state, code_new, self.emb = ndl_train(
                 self.state, self.G, self.emb, self._B_bytes, self._parents,
                 mcmc_iterations=mcmc,
@@ -401,22 +411,34 @@ class NetworkReconstructor:
                 backend=resolve_backend("auto", not self.fast),
                 num_chains=self.num_chains,
                 subsample=self.subsample,
+                discard_first=discard_first,
             )
             return code_new
 
         if checkpoint_path and checkpoint_every > 0:
-            from onmf_ontf_ndl_tpu.utils.checkpoint import save_state
+            import os as _os
+
+            from onmf_ontf_ndl_tpu.utils.checkpoint import (
+                load_state, save_state)
 
             done = 0
+            if resume and _os.path.exists(checkpoint_path):
+                self.state, extra = load_state(
+                    checkpoint_path, dtype=self.dtype, with_extra=True)
+                self.emb = jnp.asarray(extra["emb"], jnp.int32)
+                self.code = jnp.asarray(extra["code"], self.dtype)
+                done = (int(round(float(self.state.t)))
+                        // self.sub_iterations)
             while done < self.MCMC_iterations:
                 chunk = min(checkpoint_every, self.MCMC_iterations - done)
-                code_new = run(chunk)
+                code_new = run(chunk, discard_first=(done == 0))
                 # chunks accumulate into the instance code matrix
                 self.code = self.code + code_new if done else code_new
                 done += chunk
-                save_state(checkpoint_path, self.state)
+                save_state(checkpoint_path, self.state,
+                           extra={"emb": self.emb, "code": self.code})
         else:
-            self.code = run(self.MCMC_iterations)
+            self.code = run(self.MCMC_iterations, discard_first=True)
         return self.state.W
 
     def reconstruct_network(self, recons_iter: int = 100, alpha: float = 0.0,

@@ -351,6 +351,12 @@ class OnlineNMF:
             W=ini_dict, A=ini_A, B=ini_B, C=ini_C, t=float(history),
         )
         self.code = jnp.zeros((n_components, self.X.shape[1]), dtype)
+        # the configured initial state (immutable pytree), so fit() can
+        # restart from it; also remembers the init recipe for a fit(X)
+        # with a different feature dimension
+        self._init_state = self.state
+        self._init_key = key
+        self._track_xxt = track_xxt
 
     @property
     def history(self) -> float:
@@ -408,12 +414,23 @@ class OnlineNMF:
         return self.state.W.T
 
     def fit(self, X=None):
-        """Run the configured training on ``X`` (samples x features; the
-        instance's matrix when omitted). Returns self."""
+        """FRESH fit on ``X`` (samples x features; the instance's matrix
+        when omitted): the optimizer restarts from the configured initial
+        state, per the sklearn contract (a second ``fit`` refits, it does
+        not continue — use :meth:`partial_fit` / :meth:`train_dict` for
+        incremental training). Returns self."""
         if X is not None:
             self.X = jnp.asarray(X, self.dtype).T
-            self.code = jnp.zeros((self.n_components, self.X.shape[1]),
-                                  self.dtype)
+        if self._init_state.W.shape[0] == self.X.shape[0]:
+            self.state = self._init_state
+        else:
+            # feature dimension changed: re-derive a fresh state with the
+            # same init recipe (any configured ini_dict no longer fits)
+            self.state = init_state(
+                self._init_key, self.X.shape[0], self.n_components,
+                track_xxt=self._track_xxt, dtype=self.dtype)
+        self.code = jnp.zeros((self.n_components, self.X.shape[1]),
+                              self.dtype)
         self.train_dict()
         return self
 

@@ -20,10 +20,11 @@ from onmf_ontf_ndl_tpu.models.state import OnmfState
 __all__ = ["save_state", "load_state"]
 
 
-def save_state(path: str, state: OnmfState) -> None:
-    """Serialize an OnmfState to a ``.npz`` file."""
-    np.savez(
-        path,
+def save_state(path: str, state: OnmfState, extra: dict | None = None) -> None:
+    """Serialize an OnmfState (plus optional named auxiliary arrays —
+    e.g. an app's MCMC chain embedding or accumulated code matrix) to a
+    ``.npz`` file."""
+    arrays = dict(
         W=np.asarray(state.W),
         A=np.asarray(state.A),
         B=np.asarray(state.B),
@@ -33,10 +34,16 @@ def save_state(path: str, state: OnmfState) -> None:
         key_impl=np.bytes_(
             str(jax.random.key_impl(state.key)).encode()),
     )
+    for name, value in (extra or {}).items():
+        arrays["extra_" + name] = np.asarray(value)
+    np.savez(path, **arrays)
 
 
-def load_state(path: str, dtype=None) -> OnmfState:
-    """Restore an OnmfState saved by :func:`save_state`."""
+def load_state(path: str, dtype=None, with_extra: bool = False):
+    """Restore an OnmfState saved by :func:`save_state`.
+
+    ``with_extra=True`` additionally returns the dict of auxiliary
+    arrays saved alongside (empty for checkpoints without them)."""
     with np.load(path) as z:
         W = z["W"]
         cast = (lambda a: jnp.asarray(a, dtype)) if dtype else jnp.asarray
@@ -45,7 +52,12 @@ def load_state(path: str, dtype=None) -> OnmfState:
             impl = impl[2:-1]
         key = jax.random.wrap_key_data(jnp.asarray(z["key_data"]),
                                        impl=impl)
-        return OnmfState(
+        state = OnmfState(
             W=cast(W), A=cast(z["A"]), B=cast(z["B"]), C=cast(z["C"]),
             t=cast(z["t"]), key=key,
         )
+        if with_extra:
+            extra = {name[len("extra_"):]: cast(z[name])
+                     for name in z.files if name.startswith("extra_")}
+            return state, extra
+        return state
