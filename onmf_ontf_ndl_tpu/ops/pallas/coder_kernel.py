@@ -49,8 +49,65 @@ def _pick_tile(n: int, block_n: int | None, max_tn: int) -> int:
     return min(max_tn, _round_up(-(-n // cells), 128))
 
 
-def _coder_kernel(alpha_ref, inv_diag_ref, A_ref, B_ref, H0_ref, H_ref, *,
-                  r, sub_iter, nonneg_norm):
+def _blocked_sweep(A_ref, B_ref, H_ref, acorr_ref, diag_ref, alpha, rs, *,
+                   r, bk, nonneg_norm):
+    """One Gauss-Seidel sweep over the r rows, in row blocks of ``bk``.
+
+    Exact-semantics latency optimization: the per-row gradient
+    ``A[k, :] @ H`` (with rows < k already updated) is regrouped as
+
+        A[k, :] @ H_pre_block  +  sum_{j in block, j < k} A[k, j] * delta_j
+
+    — one (bk, R) x (R, TN) MXU matmul per BLOCK plus cheap in-block
+    scalar-vector corrections, instead of ``bk`` serially dependent
+    matvecs. Identical in real arithmetic to the row-at-a-time sweep
+    (only the f32 summation grouping differs); the sequential dependence
+    chain shrinks from r MXU matvecs to r/bk matmuls + O(bk^2) VPU fmas.
+
+    acorr_ref: SMEM (R, bk) staging of the in-block correction scalars,
+    ``acorr[k, j] = A[k, (k//bk)*bk + j]`` (SMEM because Mosaic has no
+    scalar VMEM loads). The loop is fully Python-unrolled so every
+    scalar index is static.
+    """
+    nblk = -(-r // bk)
+    for b in range(nblk):
+        k0 = b * bk
+        kb = min(bk, r - k0)
+        G = jax.lax.dot_general(
+            A_ref[pl.ds(k0, kb), :], H_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # (kb, TN), pre-block H
+        deltas = []
+        for idx in range(kb):
+            k = k0 + idx
+            g = G[idx:idx + 1, :] - B_ref[pl.ds(k, 1), :] + alpha
+            for j in range(idx):
+                g = g + acorr_ref[k, j] * deltas[j]
+            if nonneg_norm:
+                step = 1.0 / (diag_ref[0, k] + 1.0)
+            else:
+                step = rs / (diag_ref[0, k] + 1.0)
+            old = H_ref[pl.ds(k, 1), :]
+            new_row = jnp.maximum(old - step * g, 0.0)
+            if nonneg_norm:
+                nrm = jnp.sqrt(jnp.sum(new_row * new_row))
+                new_row = new_row / jnp.maximum(1.0, nrm)
+            if idx + 1 < kb:                          # last delta is unused
+                deltas.append(new_row - old)
+            H_ref[pl.ds(k, 1), :] = new_row
+
+
+def _block_corr(Ap: jax.Array, bk: int) -> jax.Array:
+    """(R, bk) staging of the in-block correction scalars for
+    :func:`_blocked_sweep`: ``out[k, j] = Ap[k, (k//bk)*bk + j]``
+    (clamped; out-of-range slots are never read)."""
+    R = Ap.shape[0]
+    idx = (jnp.arange(R) // bk)[:, None] * bk + jnp.arange(bk)[None, :]
+    return jnp.take_along_axis(Ap, jnp.minimum(idx, R - 1), axis=1)
+
+
+def _coder_kernel(alpha_ref, inv_diag_ref, acorr_ref, A_ref, B_ref, H0_ref,
+                  H_ref, *, r, sub_iter, bk, nonneg_norm):
     """One grid cell: full sweep schedule on an (R, TN) tile of H.
 
     inv_diag_ref: SMEM (1, R) array of the diagonal A[k,k] — SMEM because
@@ -67,35 +124,19 @@ def _coder_kernel(alpha_ref, inv_diag_ref, A_ref, B_ref, H0_ref, H_ref, *,
 
     def sweep(i, _):
         rs = jax.lax.rsqrt(i.astype(jnp.float32) + 10.0)
-
-        def row(k, _):
-            a_row = A_ref[pl.ds(k, 1), :]            # (1, R)
-            h = H_ref[...]                            # (R, TN)
-            grad = jax.lax.dot_general(
-                a_row, h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) - B_ref[pl.ds(k, 1), :] + alpha
-            if nonneg_norm:
-                step = 1.0 / (inv_diag_ref[0, k] + 1.0)
-            else:
-                step = rs / (inv_diag_ref[0, k] + 1.0)
-            new_row = jnp.maximum(H_ref[pl.ds(k, 1), :] - step * grad, 0.0)
-            if nonneg_norm:
-                nrm = jnp.sqrt(jnp.sum(new_row * new_row))
-                new_row = new_row / jnp.maximum(1.0, nrm)
-            H_ref[pl.ds(k, 1), :] = new_row
-            return 0
-
-        return jax.lax.fori_loop(0, r, row, 0)
+        _blocked_sweep(A_ref, B_ref, H_ref, acorr_ref, inv_diag_ref,
+                       alpha, rs, r=r, bk=bk, nonneg_norm=nonneg_norm)
+        return 0
 
     jax.lax.fori_loop(0, sub_iter, sweep, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sub_iter", "block_n", "interpret"))
+    jax.jit,
+    static_argnames=("sub_iter", "block_n", "block_rows", "interpret"))
 def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
                  alpha=0.0, *, sub_iter: int = 10,
-                 block_n: int | None = None,
+                 block_n: int | None = None, block_rows: int = 2,
                  interpret: bool = False) -> jax.Array:
     # block_n=None -> widest tile the VMEM clamp allows: the kernel's
     # cost is dominated by the sub_iter x r sequential loop, so wider
@@ -132,9 +173,11 @@ def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
     Hp = jnp.zeros((R, N), f32).at[:r, :n].set(H0.astype(f32))
     alpha_arr = jnp.full((1, 1), alpha, f32)
     inv_diag = jnp.zeros((1, R), f32).at[0, :r].set(jnp.diag(A).astype(f32))
+    bk = max(1, min(int(block_rows), r))
+    acorr = _block_corr(Ap, bk)
 
     out = pl.pallas_call(
-        functools.partial(_coder_kernel, r=r, sub_iter=sub_iter,
+        functools.partial(_coder_kernel, r=r, sub_iter=sub_iter, bk=bk,
                           nonneg_norm=False),
         out_shape=jax.ShapeDtypeStruct((R, N), f32),
         grid=(N // TN,),
@@ -142,6 +185,8 @@ def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, R), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, bk), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((R, R), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -153,7 +198,7 @@ def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
         out_specs=pl.BlockSpec((R, TN), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(alpha_arr, inv_diag, Ap, Bp, Hp)
+    )(alpha_arr, inv_diag, acorr, Ap, Bp, Hp)
     return out[:r, :n].astype(B.dtype)
 
 
@@ -189,8 +234,9 @@ def _lambda_max(G, iters: int):
     return jnp.sum(v * Gv) / jnp.maximum(jnp.sum(v * v), 1e-30)
 
 
-def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, A_ref, B_ref, H0_ref,
-                     H_ref, Hold_ref, conv_ref, *, r, sub_iter, pi_iters):
+def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, acorr_ref, A_ref, B_ref,
+                     H0_ref, H_ref, Hold_ref, conv_ref, *, r, sub_iter, bk,
+                     pi_iters):
     """Early-stopping sweeps on one (R, TN) tile of H.
 
     Reference semantics (``/root/reference/src/onmf.py:252-268``): run
@@ -213,19 +259,8 @@ def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, A_ref, B_ref, H0_ref,
         def _():
             Hold_ref[...] = H_ref[...]
             rs = jax.lax.rsqrt(i.astype(jnp.float32) + 10.0)
-
-            def row(k, _):
-                a_row = A_ref[pl.ds(k, 1), :]
-                grad = jax.lax.dot_general(
-                    a_row, H_ref[...], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) - B_ref[pl.ds(k, 1), :] + alpha
-                step = rs / (diag_ref[0, k] + 1.0)
-                H_ref[pl.ds(k, 1), :] = jnp.maximum(
-                    H_ref[pl.ds(k, 1), :] - step * grad, 0.0)
-                return 0
-
-            jax.lax.fori_loop(0, r, row, 0)
+            _blocked_sweep(A_ref, B_ref, H_ref, acorr_ref, diag_ref,
+                           alpha, rs, r=r, bk=bk, nonneg_norm=False)
             delta = H_ref[...] - Hold_ref[...]
             Gd = jax.lax.dot_general(
                 delta, delta, (((1,), (1,)), ((), ())),
@@ -244,11 +279,12 @@ def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, A_ref, B_ref, H0_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sub_iter", "block_n", "pi_iters", "interpret"))
+    jax.jit, static_argnames=("sub_iter", "block_n", "block_rows",
+                              "pi_iters", "interpret"))
 def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
                            alpha=0.0, stopping_diff=0.01, *,
                            sub_iter: int = 10, block_n: int | None = None,
-                           pi_iters: int = 24,
+                           block_rows: int = 2, pi_iters: int = 24,
                            interpret: bool = False) -> jax.Array:
     """Fused early-stopping nonnegative sparse coding from Gram form.
 
@@ -282,9 +318,11 @@ def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
     stop_arr = jnp.full((1, 1), stopping_diff, f32)
     alpha_arr = jnp.full((1, 1), alpha, f32)
     diag = jnp.zeros((1, R), f32).at[0, :r].set(jnp.diag(A).astype(f32))
+    bk = max(1, min(int(block_rows), r))
+    acorr = _block_corr(Ap, bk)
 
     out = pl.pallas_call(
-        functools.partial(_coder_es_kernel, r=r, sub_iter=sub_iter,
+        functools.partial(_coder_es_kernel, r=r, sub_iter=sub_iter, bk=bk,
                           pi_iters=pi_iters),
         out_shape=jax.ShapeDtypeStruct((R, N), f32),
         grid=(N // TN,),
@@ -294,6 +332,8 @@ def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, R), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, bk), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((R, R), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -309,13 +349,14 @@ def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(stop_arr, alpha_arr, diag, Ap, Bp, Hp)
+    )(stop_arr, alpha_arr, diag, acorr, Ap, Bp, Hp)
     return out[:r, :n].astype(B.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def dict_update_sweep(W: jax.Array, A: jax.Array, B: jax.Array,
-                      *, interpret: bool = False) -> jax.Array:
+                      *, block_rows: int = 2,
+                      interpret: bool = False) -> jax.Array:
     """Fused column-BCD dictionary update (one sweep over all columns).
 
     Runs on W^T so the sequential axis is the sublane dim. The kernel
@@ -342,15 +383,20 @@ def dict_update_sweep(W: jax.Array, A: jax.Array, B: jax.Array,
     Wt = jnp.zeros((R, D), f32).at[:r, :d].set(W.T.astype(f32))
     alpha_arr = jnp.zeros((1, 1), f32)
     inv_diag = jnp.zeros((1, R), f32).at[0, :r].set(jnp.diag(A).astype(f32))
+    bk = max(1, min(int(block_rows), r))
+    acorr = _block_corr(Ap, bk)
 
     out = pl.pallas_call(
-        functools.partial(_coder_kernel, r=r, sub_iter=1, nonneg_norm=True),
+        functools.partial(_coder_kernel, r=r, sub_iter=1, bk=bk,
+                          nonneg_norm=True),
         out_shape=jax.ShapeDtypeStruct((R, D), f32),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, R), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, bk), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((R, R), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -362,5 +408,5 @@ def dict_update_sweep(W: jax.Array, A: jax.Array, B: jax.Array,
         out_specs=pl.BlockSpec((R, D), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(alpha_arr, inv_diag, Ap, Bp, Wt)
+    )(alpha_arr, inv_diag, acorr, Ap, Bp, Wt)
     return out[:r, :d].T.astype(W.dtype)
