@@ -47,7 +47,7 @@ __all__ = ["ImageReconstructor", "train_image_dict", "reconstruct"]
     static_argnames=(
         "outer_iterations", "num_patches", "inner_iterations", "batch_size",
         "patch_size", "sub_iter", "use_stopping", "dict_from", "backend",
-        "subsample",
+        "subsample", "coder",
     ),
     donate_argnums=(0,),
 )
@@ -68,6 +68,7 @@ def train_image_dict(
     dict_from: str = "stale",
     backend: str = "xla",
     subsample: bool = False,
+    coder: str = "bcd",
 ) -> OnmfState:
     """Fused streaming trainer: outer scan samples patches, inner scan runs
     online-NMF steps; mirrors the two-level loop of
@@ -87,7 +88,7 @@ def train_image_dict(
         st, _, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, subsample, sub_iter,
-            use_stopping, False, dict_from, backend=backend,
+            use_stopping, False, dict_from, backend=backend, coder=coder,
         )
         return st, None
 
@@ -162,6 +163,7 @@ class ImageReconstructor:
         beta: float | None = None,
         fast: bool = False,
         subsample: bool = False,
+        coder: str = "bcd",
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -201,6 +203,7 @@ class ImageReconstructor:
         self.beta = 1.0 if beta is None else float(beta)
         self.fast = fast
         self.subsample = subsample
+        self.coder = coder
         self.dtype = dtype
 
         d = (3 if is_color else 1) * patch_size**2
@@ -259,6 +262,7 @@ class ImageReconstructor:
                     alpha=self.alpha, beta=self.beta,
                     use_stopping=not self.fast,
                     backend=resolve_backend("auto", not self.fast),
+                    coder=self.coder,
                 )
         else:
             total = self.iterations
@@ -276,6 +280,7 @@ class ImageReconstructor:
                     use_stopping=not self.fast,
                     backend=resolve_backend("auto", not self.fast),
                     subsample=self.subsample,
+                    coder=self.coder,
                 )
 
         if checkpoint_path and checkpoint_every > 0:

@@ -55,7 +55,7 @@ def unfolded_dim(k: int, num_patches: int, mode: int, joint: bool) -> int:
     static_argnames=(
         "outer_iterations", "num_patches", "inner_iterations", "batch_size",
         "patch_size", "mode", "joint", "sub_iter", "use_stopping", "backend",
-        "subsample",
+        "subsample", "coder",
     ),
     donate_argnums=(0,),
 )
@@ -65,7 +65,7 @@ def _train_tensor(
     batch_size: int, patch_size: int, mode: int, joint: bool,
     alpha: float, beta: float, sub_iter: int, stopping_diff: float = 0.01,
     use_stopping: bool = True, backend: str = "xla",
-    subsample: bool = True,
+    subsample: bool = True, coder: str = "bcd",
 ):
     k = patch_size
     alpha_t = jnp.asarray(alpha, img.dtype)
@@ -85,7 +85,7 @@ def _train_tensor(
         st, _, _ = _train_scan(
             st, Xu, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, subsample, sub_iter,
-            use_stopping, False, "stale", backend=backend,
+            use_stopping, False, "stale", backend=backend, coder=coder,
         )
         return st, None
 
@@ -116,6 +116,7 @@ class ImageReconstructorTensor:
         alpha: float | None = None,
         beta: float | None = None,
         fast: bool = False,
+        coder: str = "bcd",
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -139,6 +140,7 @@ class ImageReconstructorTensor:
         self.alpha = 2.0 if alpha is None else float(alpha)
         self.beta = 1.0 if beta is None else float(beta)
         self.fast = fast
+        self.coder = coder
         self.seed = seed
         self.dtype = dtype
         self.state = None
@@ -164,6 +166,7 @@ class ImageReconstructorTensor:
             sub_iter=self.block_iterations,
             use_stopping=not self.fast,
             backend=_resolve_backend("auto", not self.fast),
+            coder=self.coder,
         )
         self.W = self.state.W
         return self.W

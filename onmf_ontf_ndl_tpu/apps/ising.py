@@ -55,7 +55,7 @@ __all__ = ["IsingReconstructor", "ising_trajectory_learning", "display_errors"]
         "ising_iterations", "nsteps", "num_patches", "inner_iterations",
         "batch_size", "patch_size", "sampler", "update_lattice",
         "sub_iter", "keep_trajectory", "use_stopping", "backend",
-        "subsample",
+        "subsample", "coder",
     ),
 )
 def ising_trajectory_learning(
@@ -82,6 +82,7 @@ def ising_trajectory_learning(
     use_stopping: bool = True,
     backend: str = "xla",
     subsample: bool = False,
+    coder: str = "bcd",
 ):
     """Fused trajectory learner. Returns
     ``(state, dict_stack, errors, lattice, trajectory)`` where
@@ -101,7 +102,7 @@ def ising_trajectory_learning(
         st, _, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, subsample, sub_iter,
-            use_stopping, False, "stale", backend=backend,
+            use_stopping, False, "stale", backend=backend, coder=coder,
         )
         return st
 
@@ -167,6 +168,7 @@ class IsingReconstructor:
         sampler: str = "checkerboard",
         update_lattice: bool = True,
         fast: bool = False,
+        coder: str = "bcd",
         subsample: bool = False,
         seed: int = 0,
         dtype=jnp.float32,
@@ -191,6 +193,7 @@ class IsingReconstructor:
         self.sampler = sampler
         self.update_lattice = update_lattice
         self.fast = fast
+        self.coder = coder
         self.subsample = subsample
         self.dtype = dtype
         key = jax.random.key(seed)
@@ -229,6 +232,7 @@ class IsingReconstructor:
             keep_trajectory=keep_trajectory,
             use_stopping=not self.fast,
             backend=_resolve_backend("auto", not self.fast),
+            coder=self.coder,
             subsample=self.subsample,
         )
         self.W = self.dict_stack[-1]

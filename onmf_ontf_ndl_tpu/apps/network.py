@@ -59,7 +59,7 @@ __all__ = ["NetworkReconstructor", "ndl_train", "reconstruct_network",
         "B_bytes", "parents", "mcmc_iterations", "sample_size",
         "inner_iterations", "batch_size", "use_glauber", "weighted",
         "sub_iter", "use_stopping", "backend", "num_chains", "subsample",
-        "discard_first",
+        "discard_first", "coder",
     ),
 )
 def ndl_train(
@@ -84,6 +84,7 @@ def ndl_train(
     num_chains: int = 1,
     subsample: bool = False,
     discard_first: bool = True,
+    coder: str = "bcd",
 ):
     """Fused NDL trainer. Returns ``(state, code, emb)`` where code is the
     accumulated (r, sample_size) code matrix.
@@ -124,7 +125,7 @@ def ndl_train(
         st, code_new, _ = _train_scan(
             st, X.astype(dtype), code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, subsample, sub_iter,
-            use_stopping, True, "stale", backend=backend,
+            use_stopping, True, "stale", backend=backend, coder=coder,
         )
         if discard_first:
             code = jnp.where(i == 0, code, code_new)
@@ -321,6 +322,7 @@ class NetworkReconstructor:
         is_glauber_recons: bool = True,
         weighted_patches: bool = False,
         fast: bool = False,
+        coder: str = "bcd",
         num_chains: int = 1,
         subsample: bool = False,
         seed: int = 0,
@@ -347,6 +349,7 @@ class NetworkReconstructor:
         # fast=True: fixed coder sweeps (no spectral-norm stopping),
         # routed to the Pallas kernels on TPU
         self.fast = fast
+        self.coder = coder
         self.subsample = subsample
         self.dtype = dtype
 
@@ -409,6 +412,7 @@ class NetworkReconstructor:
                 weighted=self.weighted_patches,
                 use_stopping=not self.fast,
                 backend=resolve_backend("auto", not self.fast),
+                coder=self.coder,
                 num_chains=self.num_chains,
                 subsample=self.subsample,
                 discard_first=discard_first,

@@ -32,6 +32,7 @@ __all__ = ["VideoDictionaryLearner", "train_video_dict"]
     static_argnames=(
         "num_patches", "inner_iterations", "batch_size", "patch_size",
         "epochs", "sub_iter", "use_stopping", "backend", "subsample",
+        "coder",
     ),
     donate_argnums=(0,),
 )
@@ -51,6 +52,7 @@ def train_video_dict(
     use_stopping: bool = True,
     backend: str = "xla",
     subsample: bool = False,
+    coder: str = "bcd",
 ) -> OnmfState:
     """Stream over frames (in order, ``epochs`` passes), one warm-started
     online-NMF round per frame."""
@@ -70,7 +72,7 @@ def train_video_dict(
         st, _, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, subsample, sub_iter,
-            use_stopping, False, "stale", backend=backend,
+            use_stopping, False, "stale", backend=backend, coder=coder,
         )
         return st, None
 
@@ -97,6 +99,7 @@ class VideoDictionaryLearner:
         beta: float | None = None,
         max_frames: int | None = None,
         fast: bool = False,
+        coder: str = "bcd",
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -115,6 +118,7 @@ class VideoDictionaryLearner:
         self.alpha = 0.0 if alpha is None else float(alpha)
         self.beta = 1.0 if beta is None else float(beta)
         self.fast = fast
+        self.coder = coder
         self.dtype = dtype
         d = (3 if self.is_color else 1) * patch_size**2
         self.state = init_state(jax.random.key(seed), d, n_components,
@@ -134,6 +138,7 @@ class VideoDictionaryLearner:
             epochs=epochs, alpha=self.alpha, beta=self.beta,
             use_stopping=not self.fast,
             backend=_resolve_backend("auto", not self.fast),
+            coder=self.coder,
         )
         return self.state.W
 

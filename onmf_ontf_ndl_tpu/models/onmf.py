@@ -61,6 +61,7 @@ def onmf_step(
     stopping_diff: float | None = 0.01,
     dict_from: str = "stale",
     backend: str = "auto",
+    coder: str = "bcd",
 ) -> tuple[OnmfState, jax.Array]:
     """One online-NMF step on a data batch ``X`` (d, n).
 
@@ -75,12 +76,18 @@ def onmf_step(
         just-updated ones (paper semantics).
       backend: "auto" | "xla" | "pallas" — the fused kernels are used for
         the fixed-sweep path on TPU under "auto"/"pallas".
+      coder: "bcd" (reference-parity Gauss-Seidel sweeps) or "fista"
+        (fully MXU-parallel accelerated projected gradient — same
+        objective, typically a better final objective at equal sweeps,
+        and much faster on TPU; an opt-in non-parity mode).
 
     Returns:
       (new_state, H) where H is the (r, n) nonnegative code of the batch.
     """
     if dict_from not in ("stale", "fresh"):
         raise ValueError(f"dict_from must be 'stale' or 'fresh', got {dict_from!r}")
+    if coder not in ("bcd", "fista"):
+        raise ValueError(f"coder must be 'bcd' or 'fista', got {coder!r}")
     from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
 
     key = state.key
@@ -97,7 +104,7 @@ def onmf_step(
     sd = jnp.asarray(stopping_diff if use_stopping else 0.0, state.W.dtype)
     new_state, H = _step_inner(
         state, X, t, H0, alpha, beta, sub_iter, use_stopping, sd, dict_from,
-        resolve_backend(backend, use_stopping),
+        resolve_backend(backend, use_stopping), coder=coder,
     )
     return dataclasses.replace(new_state, key=key), H
 
@@ -107,7 +114,7 @@ def onmf_step(
     static_argnames=(
         "iterations", "batch_size", "subsample", "sub_iter",
         "use_stopping", "track_code", "dict_from", "backend",
-        "track_metrics", "psum_axis",
+        "track_metrics", "psum_axis", "coder",
     ),
 )
 def _train_scan(
@@ -127,6 +134,7 @@ def _train_scan(
     backend: str = "xla",
     track_metrics: bool = False,
     psum_axis: str | None = None,
+    coder: str = "bcd",
 ):
     n = X.shape[1]
     r = state.r
@@ -150,7 +158,7 @@ def _train_scan(
         st, H = _step_inner(
             st, Xb, t0 + jnp.asarray(i, X.dtype), H0, alpha, beta,
             sub_iter, use_stopping, stopping_diff, dict_from, backend,
-            psum_axis,
+            psum_axis, coder=coder,
         )
         if track_code:
             code = code.at[:, idx].add(H)
@@ -178,7 +186,7 @@ def _train_scan(
 
 def _step_inner(
     st, Xb, t, H0, alpha, beta, sub_iter, use_stopping, stopping_diff,
-    dict_from, backend="xla", psum_axis=None,
+    dict_from, backend="xla", psum_axis=None, coder="bcd",
 ):
     """onmf_step with the stopping rule threaded as a traced value.
 
@@ -202,7 +210,18 @@ def _step_inner(
     with jax.named_scope("onmf.sparse_code"):
         gram = W.T @ W
         proj = W.T @ Xb
-        if use_pallas and use_stopping:
+        if coder == "fista" and use_pallas:
+            from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import fista_sweeps
+
+            H = fista_sweeps(gram, proj, H0, jnp.asarray(alpha, W.dtype),
+                             stopping_diff, sub_iter=int(sub_iter),
+                             use_stopping=use_stopping)
+        elif coder == "fista":
+            from onmf_ontf_ndl_tpu.ops.coder import _fista_impl
+
+            H = _fista_impl(gram, proj, H0, jnp.asarray(alpha, W.dtype),
+                            stopping_diff, int(sub_iter), use_stopping)
+        elif use_pallas and use_stopping:
             from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import (
                 coder_sweeps_earlystop)
 
@@ -261,6 +280,7 @@ def train_dict(
     code0: jax.Array | None = None,
     backend: str = "auto",
     return_metrics: bool = False,
+    coder: str = "bcd",
 ) -> tuple[OnmfState, jax.Array]:
     """Run ``iterations - 1`` online steps over minibatches of ``X`` (d, n).
 
@@ -272,6 +292,8 @@ def train_dict(
     """
     if dict_from not in ("stale", "fresh"):
         raise ValueError(f"dict_from must be 'stale' or 'fresh', got {dict_from!r}")
+    if coder not in ("bcd", "fista"):
+        raise ValueError(f"coder must be 'bcd' or 'fista', got {coder!r}")
     if code0 is None:
         code0 = jnp.zeros((state.r, X.shape[1]), X.dtype)
     use_stopping = stopping_diff is not None
@@ -288,7 +310,7 @@ def train_dict(
         int(iterations), int(batch_size), bool(subsample), int(sub_iter),
         use_stopping, bool(track_code), dict_from,
         backend=resolve_backend(backend, use_stopping),
-        track_metrics=bool(return_metrics),
+        track_metrics=bool(return_metrics), coder=coder,
     )
     if return_metrics:
         return state, code, metrics
@@ -326,6 +348,7 @@ class OnlineNMF:
         sub_iter: int = 10,
         stopping_diff: float | None = 0.01,
         dict_from: str = "stale",
+        coder: str = "bcd",
         key: jax.Array | None = None,
         seed: int = 0,
         dtype=jnp.float32,
@@ -340,6 +363,7 @@ class OnlineNMF:
         self.sub_iter = sub_iter
         self.stopping_diff = stopping_diff
         self.dict_from = dict_from
+        self.coder = coder
         self.dtype = dtype
         if track_xxt is None:
             track_xxt = ini_C is not None
@@ -374,6 +398,7 @@ class OnlineNMF:
         return nonneg_code(
             X, W, key=key, alpha=self.alpha,
             sub_iter=self.sub_iter, stopping_diff=self.stopping_diff,
+            method=self.coder,
         )
 
     def partial_fit(self, X_batch):
@@ -385,7 +410,7 @@ class OnlineNMF:
         self.state, H = onmf_step(
             self.state, X_batch, alpha=self.alpha, beta=self.beta,
             sub_iter=self.sub_iter, stopping_diff=self.stopping_diff,
-            dict_from=self.dict_from,
+            dict_from=self.dict_from, coder=self.coder,
         )
         return self
 
@@ -397,6 +422,7 @@ class OnlineNMF:
             subsample=self.subsample, alpha=self.alpha, beta=self.beta,
             sub_iter=self.sub_iter, stopping_diff=self.stopping_diff,
             track_code=True, dict_from=self.dict_from, code0=self.code,
+            coder=self.coder,
         )
         st = self.state
         Ct = st.C if st.tracks_xxt else None

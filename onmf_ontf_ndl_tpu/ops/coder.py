@@ -34,6 +34,73 @@ from jax import lax
 __all__ = ["nonneg_code", "nonneg_code_gram"]
 
 
+def _lambda_max_psd(A: jax.Array, iters: int = 16) -> jax.Array:
+    """Top eigenvalue of a small PSD Gram matrix by power iteration.
+
+    The start vector is a fixed unstructured positive vector (orthogonal
+    to the top eigenvector only on a measure-zero set); the Rayleigh
+    quotient under-estimates, so callers add a safety factor when the
+    value bounds a step size."""
+    r = A.shape[0]
+    idx = jnp.arange(r, dtype=jnp.int32)[:, None]
+    v = (0.5 + ((idx * 40503) % 65536).astype(A.dtype) / 65536.0)
+
+    def it(_, v):
+        w = A @ v
+        return w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), 1e-30)
+
+    v = lax.fori_loop(0, iters, it, v)
+    return jnp.sum(v * (A @ v)) / jnp.maximum(jnp.sum(v * v), 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=("sub_iter", "use_stopping"))
+def _fista_impl(A, B, H0, alpha, stopping_diff, sub_iter, use_stopping):
+    """Accelerated projected-gradient (FISTA) nonnegative LASSO coder.
+
+    The TPU-native alternative to the reference's Gauss-Seidel sweeps:
+    each iteration is ONE (r, r) x (r, n) MXU matmul plus full-matrix
+    pointwise ops — no sequential row chain at all, so every vector op
+    runs at full vreg utilization (docs/DESIGN.md §2). Solves the same
+    objective; at equal sweep counts the final objective is typically
+    BELOW the reference coder's (measured; tests/test_fista.py).
+
+    Step size 1/L with L = lambda_max(A) from power iteration (x1.02
+    safety on the Rayleigh under-estimate), Nesterov momentum in the
+    standard t-sequence. Not a reference-parity path — an opt-in mode.
+    """
+    L = _lambda_max_psd(A) * 1.02 + 1e-12
+    inv_L = 1.0 / L
+    one_ = jnp.asarray(1.0, A.dtype)
+
+    def one(H, Y, tt):
+        G = A @ Y - B + alpha
+        Hn = jnp.maximum(Y - inv_L * G, 0.0)
+        tn = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tt * tt))
+        Yn = Hn + ((tt - 1.0) / tn) * (Hn - H)
+        return Hn, Yn, tn
+
+    if not use_stopping:
+        H, _, _ = lax.fori_loop(
+            0, sub_iter, lambda i, c: one(*c), (H0, H0, one_))
+        return H
+
+    def cond(c):
+        i, dist, H, Y, tt = c
+        return jnp.logical_and(i < sub_iter, dist > stopping_diff)
+
+    def body(c):
+        i, dist, H, Y, tt = c
+        Hn, Yn, tn = one(H, Y, tt)
+        dist = (_spectral_norm(Hn - H)
+                / jnp.maximum(_spectral_norm(H), 1e-30))
+        return i + 1, dist, Hn, Yn, tn
+
+    big = jnp.asarray(jnp.inf, A.dtype)
+    _, _, H, _, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), big, H0, H0, one_))
+    return H
+
+
 def _spectral_norm(M: jax.Array) -> jax.Array:
     """2-norm (largest singular value) of a matrix.
 
@@ -139,6 +206,7 @@ def nonneg_code_gram(
     stopping_diff: float | None = 0.01,
     radius: float | None = None,
     backend: str = "auto",
+    method: str = "bcd",
 ) -> jax.Array:
     """Nonnegative LASSO code update from precomputed Gram matrices.
 
@@ -151,6 +219,9 @@ def nonneg_code_gram(
       stopping_diff: relative spectral-change early stop; ``None`` disables
         the data-dependent stop and runs exactly ``sub_iter`` sweeps.
       radius: optional spectral trust-region radius around ``H0``.
+      method: "bcd" (reference-parity Gauss-Seidel sweeps) or "fista"
+        (fully parallel accelerated projected gradient — the TPU-native
+        opt-in mode; same objective, no radius support).
 
     Returns:
       (r, n) nonnegative code matrix.
@@ -158,6 +229,22 @@ def nonneg_code_gram(
     alpha = jnp.asarray(alpha, A.dtype)
     use_stopping = stopping_diff is not None
     use_radius = radius is not None
+    if method == "fista":
+        if use_radius:
+            raise ValueError("method='fista' does not support radius")
+        from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
+        if resolve_backend(backend, use_stopping) == "pallas":
+            from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import fista_sweeps
+
+            return fista_sweeps(
+                A, B, H0, alpha,
+                stopping_diff if use_stopping else 0.0,
+                sub_iter=int(sub_iter), use_stopping=use_stopping)
+        sd = jnp.asarray(stopping_diff if use_stopping else 0.0, A.dtype)
+        return _fista_impl(A, B, H0, alpha, sd, int(sub_iter), use_stopping)
+    if method != "bcd":
+        raise ValueError(f"method must be 'bcd' or 'fista', got {method!r}")
     if not use_radius:
         # both sweep modes route to the fused Pallas kernels on TPU
         from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
@@ -186,6 +273,7 @@ def nonneg_code(
     stopping_diff: float | None = 0.01,
     radius: float | None = None,
     backend: str = "auto",
+    method: str = "bcd",
 ) -> jax.Array:
     """Sparse-code a data batch ``X`` (d, n) against dictionary ``W`` (d, r).
 
@@ -202,4 +290,5 @@ def nonneg_code(
     return nonneg_code_gram(
         A, B, H0, alpha=alpha, sub_iter=sub_iter,
         stopping_diff=stopping_diff, radius=radius, backend=backend,
+        method=method,
     )

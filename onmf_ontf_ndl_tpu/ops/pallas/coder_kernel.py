@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["coder_sweeps", "coder_sweeps_earlystop", "dict_update_sweep"]
+__all__ = ["coder_sweeps", "coder_sweeps_earlystop", "dict_update_sweep",
+           "fista_sweeps"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -350,6 +351,128 @@ def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
         ],
         interpret=interpret,
     )(stop_arr, alpha_arr, diag, acorr, Ap, Bp, Hp)
+    return out[:r, :n].astype(B.dtype)
+
+
+def _fista_kernel(stop_ref, alpha_ref, A_ref, B_ref, H0_ref, H_ref,
+                  Y_ref, tmom_ref, conv_ref, *, sub_iter, use_stopping,
+                  pi_iters):
+    """Fused FISTA sweeps on one (R, TN) tile (the ``coder="fista"``
+    mode of ``models/onmf.py``; semantics of ``ops/coder.py::_fista_impl``).
+
+    Unlike the Gauss-Seidel kernels there is no sequential row chain:
+    each iteration is one (R, R) x (R, TN) MXU matmul plus full-tile
+    pointwise ops at full vreg utilization. The kernel exists because the
+    XLA lowering round-trips the (R, TN) iterate through HBM between
+    every op (~200 MB of traffic for 10 sweeps at the bench shape);
+    in-kernel the iterates stay in VMEM.
+
+    use_stopping: per-tile relative spectral-change stop (power iteration
+    on the delta/iterate Grams), same per-tile freeze discipline as
+    :func:`coder_sweeps_earlystop`.
+    """
+    H_ref[...] = H0_ref[...]
+    Y_ref[...] = H0_ref[...]
+    tmom_ref[0] = 1.0
+    conv_ref[0] = 0
+    alpha = alpha_ref[0, 0]
+    stop2 = stop_ref[0, 0] * stop_ref[0, 0]
+    A = A_ref[...]
+    L = _lambda_max(A, pi_iters) * 1.02 + 1e-12
+    inv_L = 1.0 / L
+
+    def sweep(i, _):
+        def body():
+            tt = tmom_ref[0]
+            H = H_ref[...]
+            Y = Y_ref[...]
+            G = jax.lax.dot_general(
+                A, Y, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) - B_ref[...] + alpha
+            Hn = jnp.maximum(Y - inv_L * G, 0.0)
+            tn = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tt * tt))
+            Y_ref[...] = Hn + ((tt - 1.0) / tn) * (Hn - H)
+            H_ref[...] = Hn
+            tmom_ref[0] = tn
+            if use_stopping:
+                delta = Hn - H
+                Gd = jax.lax.dot_general(
+                    delta, delta, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                Gh = jax.lax.dot_general(
+                    H, H, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                num = _lambda_max(Gd, pi_iters)
+                den = _lambda_max(Gh, pi_iters)
+                conv_ref[0] = (num <= stop2 * den).astype(jnp.int32)
+
+        if use_stopping:
+            pl.when(conv_ref[0] == 0)(body)
+        else:
+            body()
+        return 0
+
+    jax.lax.fori_loop(0, sub_iter, sweep, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sub_iter", "use_stopping", "block_n",
+                              "pi_iters", "interpret"))
+def fista_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
+                 alpha=0.0, stopping_diff=0.01, *, sub_iter: int = 10,
+                 use_stopping: bool = True, block_n: int | None = None,
+                 pi_iters: int = 16, interpret: bool = False) -> jax.Array:
+    """Fused FISTA nonnegative-LASSO coder from Gram form (TPU).
+
+    Args/returns as :func:`coder_sweeps`; ``use_stopping=False`` runs
+    exactly ``sub_iter`` accelerated projected-gradient iterations.
+    """
+    r, n = B.shape
+    R = _round_up(r, 8)
+    if R * R * 4 > 6 * 1024 * 1024:
+        from onmf_ontf_ndl_tpu.ops.coder import _fista_impl
+
+        sd = jnp.asarray(stopping_diff if use_stopping else 0.0, B.dtype)
+        return _fista_impl(A, B, H0, jnp.asarray(alpha, B.dtype), sd,
+                           int(sub_iter), use_stopping)
+    vmem_budget = 8 * 1024 * 1024
+    max_tn = max(512, (vmem_budget // (4 * 5 * R)) // 128 * 128)
+    TN = _pick_tile(n, block_n, max_tn)
+    N = _round_up(n, TN)
+    f32 = jnp.float32
+    Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
+    Bp = jnp.zeros((R, N), f32).at[:r, :n].set(B.astype(f32))
+    Hp = jnp.zeros((R, N), f32).at[:r, :n].set(H0.astype(f32))
+    stop_arr = jnp.full((1, 1), stopping_diff if use_stopping else 0.0, f32)
+    alpha_arr = jnp.full((1, 1), alpha, f32)
+
+    out = pl.pallas_call(
+        functools.partial(_fista_kernel, sub_iter=sub_iter,
+                          use_stopping=use_stopping, pi_iters=pi_iters),
+        out_shape=jax.ShapeDtypeStruct((R, N), f32),
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, R), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R, TN), f32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(stop_arr, alpha_arr, Ap, Bp, Hp)
     return out[:r, :n].astype(B.dtype)
 
 
