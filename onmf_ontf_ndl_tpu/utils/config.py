@@ -32,6 +32,7 @@ class ImageConfig:
     alpha: float | None = None
     beta: float | None = None
     recons_resolution: int = 1
+    coder: str = "bcd"
     seed: int = 0
 
     def build(self):
@@ -44,7 +45,7 @@ class ImageConfig:
             downscale_factor=self.downscale_factor,
             patch_size=self.patch_size, is_matrix=self.is_matrix,
             is_color=self.is_color, alpha=self.alpha, beta=self.beta,
-            seed=self.seed,
+            seed=self.seed, coder=self.coder,
         )
 
 
@@ -64,6 +65,7 @@ class TensorConfig:
     learn_joint_dict: bool = True
     is_color: bool = True
     alpha: float | None = None
+    coder: str = "bcd"
     seed: int = 0
 
     def build(self):
@@ -79,7 +81,7 @@ class TensorConfig:
             downscale_factor=self.downscale_factor,
             patch_size=self.patch_size,
             learn_joint_dict=self.learn_joint_dict,
-            is_color=self.is_color, alpha=self.alpha, seed=self.seed,
+            is_color=self.is_color, alpha=self.alpha, seed=self.seed, coder=self.coder,
         )
 
 
@@ -96,6 +98,7 @@ class IsingConfig:
     patch_size: int = 20
     beta: float = 1.0
     sampler: str = "checkerboard"
+    coder: str = "bcd"
     seed: int = 0
 
     def build(self):
@@ -109,7 +112,7 @@ class IsingConfig:
             sub_iterations=self.sub_iterations,
             num_patches=self.num_patches, batch_size=self.batch_size,
             patch_size=self.patch_size, beta=self.beta,
-            sampler=self.sampler, seed=self.seed,
+            sampler=self.sampler, seed=self.seed, coder=self.coder,
         )
 
 
@@ -136,6 +139,7 @@ class NetworkConfig:
     num_chains: int = 1
     recons_chains: int = 1
     use_bitset: bool = False
+    coder: str = "bcd"
     seed: int = 0
 
     def build(self):
@@ -157,7 +161,7 @@ class NetworkConfig:
                 k1=self.k1, k2=self.k2, alpha=self.alpha,
                 is_glauber_dict=self.is_glauber_dict,
                 is_glauber_recons=self.is_glauber_recons,
-                fast=self.fast, num_chains=self.num_chains, seed=self.seed,
+                fast=self.fast, num_chains=self.num_chains, seed=self.seed, coder=self.coder,
             )
         if self.use_bitset:
             from onmf_ontf_ndl_tpu.data.graphs import load_edgelist_bitset
@@ -174,7 +178,7 @@ class NetworkConfig:
             weighted_patches=self.weighted_patches,
             is_glauber_dict=self.is_glauber_dict,
             is_glauber_recons=self.is_glauber_recons,
-            fast=self.fast, num_chains=self.num_chains, seed=self.seed,
+            fast=self.fast, num_chains=self.num_chains, seed=self.seed, coder=self.coder,
         )
 
 
@@ -190,6 +194,7 @@ class VideoConfig:
     is_color: bool = True
     max_frames: int | None = None
     alpha: float | None = None
+    coder: str = "bcd"
     seed: int = 0
 
     def build(self):
@@ -200,5 +205,5 @@ class VideoConfig:
             sub_iterations=self.sub_iterations,
             num_patches=self.num_patches, batch_size=self.batch_size,
             patch_size=self.patch_size, is_color=self.is_color,
-            alpha=self.alpha, max_frames=self.max_frames, seed=self.seed,
+            alpha=self.alpha, max_frames=self.max_frames, seed=self.seed, coder=self.coder,
         )
