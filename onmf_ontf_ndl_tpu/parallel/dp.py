@@ -42,10 +42,12 @@ def shard_batch(mesh: Mesh, X: jax.Array, axis: str = "dp") -> jax.Array:
 
 
 @functools.lru_cache(maxsize=64)
-def _dp_step_fn(mesh, sub_iter, use_stopping, dict_from, axis, backend):
+def _dp_step_fn(mesh, sub_iter, use_stopping, dict_from, axis, backend,
+                coder):
     def local(st, X, t, H0, sd, alpha, beta):
         return _step_inner(st, X, t, H0, alpha, beta, sub_iter,
-                           use_stopping, sd, dict_from, backend, axis)
+                           use_stopping, sd, dict_from, backend, axis,
+                           coder=coder)
 
     return jax.jit(shard_map(
         local, mesh=mesh,
@@ -69,6 +71,7 @@ def dp_onmf_step(
     dict_from: str = "stale",
     axis: str = "dp",
     backend: str = "auto",
+    coder: str = "bcd",
 ):
     """One data-parallel online-NMF step.
 
@@ -97,7 +100,7 @@ def dp_onmf_step(
     use_stopping = stopping_diff is not None
     sd = jnp.asarray(stopping_diff if use_stopping else 0.0, state.W.dtype)
     step = _dp_step_fn(mesh, int(sub_iter), use_stopping, dict_from, axis,
-                       resolve_backend(backend, use_stopping))
+                       resolve_backend(backend, use_stopping), coder)
     return step(state, X, t, H0, sd,
                 jnp.asarray(alpha, state.W.dtype),
                 jnp.asarray(beta, state.W.dtype))
@@ -105,7 +108,7 @@ def dp_onmf_step(
 
 @functools.lru_cache(maxsize=64)
 def _dp_train_fn(mesh, iterations, batch_size, sub_iter, dict_from, axis,
-                 backend):
+                 backend, coder):
     def local(st, X_local, alpha, beta):
         sd = jnp.asarray(0.0, X_local.dtype)
         st, _, _ = _train_scan(
@@ -113,6 +116,7 @@ def _dp_train_fn(mesh, iterations, batch_size, sub_iter, dict_from, axis,
             alpha, beta, sd,
             iterations, batch_size, True, sub_iter,
             False, False, dict_from, backend=backend, psum_axis=axis,
+            coder=coder,
         )
         return st
 
@@ -137,6 +141,7 @@ def dp_train_dict(
     dict_from: str = "stale",
     axis: str = "dp",
     backend: str = "auto",
+    coder: str = "bcd",
 ):
     """Data-parallel ``train_dict``: every device subsamples its own
     ``batch_size_per_device`` columns from its shard each iteration;
@@ -155,14 +160,15 @@ def dp_train_dict(
 
     train = _dp_train_fn(mesh, int(iterations), int(batch_size_per_device),
                          int(sub_iter), dict_from, axis,
-                         resolve_backend(backend, False))
+                         resolve_backend(backend, False), coder)
     return train(state, shard_batch(mesh, X, axis),
                  jnp.asarray(alpha, X.dtype), jnp.asarray(beta, X.dtype))
 
 
 @functools.lru_cache(maxsize=64)
 def _dp_image_fn(mesh, outer_iterations, num_patches, inner_iterations,
-                 batch_size, patch_size, sub_iter, dict_from, axis, backend):
+                 batch_size, patch_size, sub_iter, dict_from, axis, backend,
+                 coder="bcd"):
     from onmf_ontf_ndl_tpu.ops.patches import (
         extract_patches, random_patch_corners)
 
@@ -184,6 +190,7 @@ def _dp_image_fn(mesh, outer_iterations, num_patches, inner_iterations,
                 alpha, beta, sd,
                 inner_iterations, batch_size, True, sub_iter,
                 False, False, dict_from, backend=backend, psum_axis=axis,
+                coder=coder,
             )
             return st, None
 
@@ -214,6 +221,7 @@ def dp_train_image_dict(
     dict_from: str = "stale",
     axis: str = "dp",
     backend: str = "auto",
+    coder: str = "bcd",
 ):
     """Data-parallel fused image trainer: every device samples its own
     random patches from the (replicated) image and runs the shared inner
@@ -226,6 +234,6 @@ def dp_train_image_dict(
                          int(num_patches_per_device), int(inner_iterations),
                          int(batch_size_per_device), int(patch_size),
                          int(sub_iter), dict_from, axis,
-                         resolve_backend(backend, False))
+                         resolve_backend(backend, False), coder)
     return train(state, img, jnp.asarray(alpha, img.dtype),
                  jnp.asarray(beta, img.dtype))

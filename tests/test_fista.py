@@ -170,3 +170,31 @@ def test_image_app_fista_smoke():
     assert W.shape == (16, 6) and (W >= 0).all() and W.max() > 0
     out = rec.reconstruct_image(data=img, patch_size=4)
     assert np.asarray(out).shape == (24, 24)
+
+
+def test_dp_fista_matches_single_device():
+    # fista is deterministic given H0, so DP (psum'd statistics) must be
+    # numerically equal to the single-device step on the same batch
+    import jax
+    from onmf_ontf_ndl_tpu.models.onmf import onmf_step
+    from onmf_ontf_ndl_tpu.models.state import init_state
+    from onmf_ontf_ndl_tpu.parallel.dp import dp_onmf_step, shard_batch
+    from onmf_ontf_ndl_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh({"dp": 4}, jax.devices()[:4])
+    d, r, n = 24, 6, 32
+    state = init_state(jax.random.key(0), d, r)
+    X = jax.random.uniform(jax.random.key(1), (d, n))
+    H0 = jax.random.uniform(jax.random.key(2), (r, n))
+
+    st1, H1 = onmf_step(state, X, H0=H0, stopping_diff=None, coder="fista",
+                        backend="xla")
+    st2, H2 = dp_onmf_step(mesh, state, shard_batch(mesh, X),
+                           H0=shard_batch(mesh, H0), stopping_diff=None,
+                           coder="fista", backend="xla")
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st2.W), np.asarray(st1.W),
+                               rtol=2e-5, atol=1e-6)
