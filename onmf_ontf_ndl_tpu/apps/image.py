@@ -97,7 +97,8 @@ def train_image_dict(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("patch_size", "stride", "sub_iter", "use_stopping", "full_grid")
+    jax.jit, static_argnames=("patch_size", "stride", "sub_iter",
+                              "use_stopping", "full_grid", "method")
 )
 def reconstruct(
     img: jax.Array,
@@ -111,6 +112,7 @@ def reconstruct(
     use_stopping: bool = False,
     stopping_diff: float = 0.01,
     full_grid: bool = False,
+    method: str = "bcd",
 ) -> jax.Array:
     """Reconstruct an image from its dictionary by coding every grid patch
     at once and overlap-averaging (``/root/reference/image_reconstruction.py:358-406``).
@@ -134,6 +136,7 @@ def reconstruct(
     H = nonneg_code(
         X, W, key=key, alpha=alpha, sub_iter=sub_iter,
         stopping_diff=(stopping_diff if use_stopping else None),
+        method=method,
     )
     recon_patches = W @ H
     return overlap_average_grid(recon_patches, k, stride, img.shape,
@@ -346,6 +349,7 @@ class ImageReconstructor:
         self.A_recons = reconstruct(
             jnp.asarray(data, self.dtype), self.state.W, key,
             patch_size=self.patch_size, stride=recons_resolution, alpha=alpha,
+            method=self.coder,
         )
         return self.A_recons
 
@@ -369,6 +373,6 @@ class ImageReconstructor:
         key = jax.random.key(17)
         self.A_recons = reconstruct(
             data, self.state.W, key, patch_size=k,
-            alpha=alpha, full_grid=True,
+            alpha=alpha, full_grid=True, method=self.coder,
         )
         return self.A_recons

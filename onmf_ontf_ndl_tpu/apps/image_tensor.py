@@ -185,6 +185,7 @@ class ImageReconstructorTensor:
         return reconstruct(
             jnp.asarray(data, self.dtype), self.W, jax.random.key(29),
             patch_size=self.patch_size, stride=recons_resolution, alpha=alpha,
+            method=self.coder,
         )
 
     def reconstruct_image(self, path: str | None = None, data=None,
@@ -211,7 +212,7 @@ class ImageReconstructorTensor:
                                     downscale_factor)
         return reconstruct(
             data, self.W, jax.random.key(29), patch_size=k,
-            alpha=self.alpha, full_grid=True,
+            alpha=self.alpha, full_grid=True, method=self.coder,
         )
 
     def display_second_dictionary(self, H, save_path: str | None = None,

@@ -248,7 +248,7 @@ class IsingReconstructor:
         data = (jnp.asarray(config, self.dtype) + 1.0) / 2.0
         return reconstruct(
             data, self.W, jax.random.key(23), patch_size=k,
-            alpha=self.alpha, full_grid=True,
+            alpha=self.alpha, full_grid=True, method=self.coder,
         )
 
 

@@ -141,7 +141,7 @@ def ndl_train(
 @functools.partial(
     jax.jit,
     static_argnames=("B_bytes", "parents", "recons_iter", "use_glauber",
-                     "weighted", "sub_iter", "num_chains"),
+                     "weighted", "sub_iter", "num_chains", "method"),
 )
 def reconstruct_network(
     W: jax.Array,
@@ -156,6 +156,7 @@ def reconstruct_network(
     use_glauber: bool = False,
     weighted: bool = False,
     num_chains: int = 1,
+    method: str = "bcd",
 ):
     """Chain-sample ``recons_iter`` patches, code them all at once, and
     overlap-average onto the node-pair grid. Returns
@@ -172,7 +173,7 @@ def reconstruct_network(
     """
     embs, vals = _recon_sample_vals(
         W, g, key, B_bytes, parents, recons_iter, alpha, sub_iter,
-        use_glauber, weighted, num_chains)
+        use_glauber, weighted, num_chains, method)
     recons_iter, k = embs.shape
 
     n = g.num_nodes
@@ -185,7 +186,8 @@ def reconstruct_network(
 
 
 def _recon_sample_vals(W, g, key, B_bytes, parents, recons_iter, alpha,
-                       sub_iter, use_glauber, weighted, num_chains):
+                       sub_iter, use_glauber, weighted, num_chains,
+                       method="bcd"):
     """Shared reconstruction front half: chain-sample ``recons_iter``
     embeddings, batch-code their patches, return the painted values.
 
@@ -230,7 +232,7 @@ def _recon_sample_vals(W, g, key, B_bytes, parents, recons_iter, alpha,
     # fixed sweeps (no spectral-norm stopping): routes to the Pallas
     # kernel on TPU and avoids the SVD-in-while_loop cost at recon widths
     H = nonneg_code(X, W, key=hk, alpha=alpha, sub_iter=sub_iter,
-                    stopping_diff=None)
+                    stopping_diff=None, method=method)
     vals = (W @ H).T.reshape(recons_iter, k, k)
     return embs, vals
 
@@ -238,7 +240,7 @@ def _recon_sample_vals(W, g, key, B_bytes, parents, recons_iter, alpha,
 @functools.partial(
     jax.jit,
     static_argnames=("B_bytes", "parents", "recons_iter", "use_glauber",
-                     "weighted", "sub_iter", "num_chains"),
+                     "weighted", "sub_iter", "num_chains", "method"),
 )
 def reconstruct_network_sparse(
     W: jax.Array,
@@ -253,6 +255,7 @@ def reconstruct_network_sparse(
     use_glauber: bool = False,
     weighted: bool = False,
     num_chains: int = 1,
+    method: str = "bcd",
 ):
     """Memory-scalable reconstruction: per-edge segment means instead of
     dense (N, N) canvases.
@@ -277,7 +280,7 @@ def reconstruct_network_sparse(
     """
     embs, vals = _recon_sample_vals(
         W, g, key, B_bytes, parents, recons_iter, alpha, sub_iter,
-        use_glauber, weighted, num_chains)
+        use_glauber, weighted, num_chains, method)
     M, k = embs.shape
 
     ii = jnp.broadcast_to(embs[:, :, None], (M, k, k)).reshape(-1)
@@ -469,6 +472,7 @@ class NetworkReconstructor:
                 recons_iter=recons_iter, alpha=alpha,
                 use_glauber=self.is_glauber_recons,
                 weighted=self.weighted_patches, num_chains=num_chains,
+                method=self.coder,
             )
             self.recon_weights = recon
             simple = jnp.logical_and(jnp.round(recon) > 0, cnt > 0)
@@ -481,6 +485,7 @@ class NetworkReconstructor:
             recons_iter=recons_iter, alpha=alpha,
             use_glauber=self.is_glauber_recons,
             weighted=self.weighted_patches, num_chains=num_chains,
+            method=self.coder,
         )
         # segment ids are a cumsum, so real segments occupy a contiguous
         # prefix: fetch its length as one scalar, then ship only the

@@ -149,4 +149,5 @@ class VideoDictionaryLearner:
         return reconstruct(
             self.frames[index], self.state.W, jax.random.key(31),
             patch_size=self.patch_size, stride=stride, alpha=alpha,
+            method=self.coder,
         )

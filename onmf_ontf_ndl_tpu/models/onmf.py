@@ -136,6 +136,11 @@ def _train_scan(
     psum_axis: str | None = None,
     coder: str = "bcd",
 ):
+    # every training path (apps, DP layer, CLI configs) funnels through
+    # here — validate at trace time so a typo'd coder can't silently run
+    # the default bcd path
+    if coder not in ("bcd", "fista"):
+        raise ValueError(f"coder must be 'bcd' or 'fista', got {coder!r}")
     n = X.shape[1]
     r = state.r
     t0 = state.t
@@ -203,6 +208,8 @@ def _step_inner(
     the step equals the single-device step on the concatenated batch
     (the aggregates are linear in the samples; parallel/dp.py).
     """
+    if coder not in ("bcd", "fista"):
+        raise ValueError(f"coder must be 'bcd' or 'fista', got {coder!r}")
     W, A, B, C = st.W, st.A, st.B, st.C
     use_pallas = backend == "pallas"
     # jax.named_scope: phases show up as annotated regions in

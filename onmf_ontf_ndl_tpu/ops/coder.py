@@ -34,25 +34,6 @@ from jax import lax
 __all__ = ["nonneg_code", "nonneg_code_gram"]
 
 
-def _lambda_max_psd(A: jax.Array, iters: int = 16) -> jax.Array:
-    """Top eigenvalue of a small PSD Gram matrix by power iteration.
-
-    The start vector is a fixed unstructured positive vector (orthogonal
-    to the top eigenvector only on a measure-zero set); the Rayleigh
-    quotient under-estimates, so callers add a safety factor when the
-    value bounds a step size."""
-    r = A.shape[0]
-    idx = jnp.arange(r, dtype=jnp.int32)[:, None]
-    v = (0.5 + ((idx * 40503) % 65536).astype(A.dtype) / 65536.0)
-
-    def it(_, v):
-        w = A @ v
-        return w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), 1e-30)
-
-    v = lax.fori_loop(0, iters, it, v)
-    return jnp.sum(v * (A @ v)) / jnp.maximum(jnp.sum(v * v), 1e-30)
-
-
 @functools.partial(jax.jit, static_argnames=("sub_iter", "use_stopping"))
 def _fista_impl(A, B, H0, alpha, stopping_diff, sub_iter, use_stopping):
     """Accelerated projected-gradient (FISTA) nonnegative LASSO coder.
@@ -68,7 +49,12 @@ def _fista_impl(A, B, H0, alpha, stopping_diff, sub_iter, use_stopping):
     safety on the Rayleigh under-estimate), Nesterov momentum in the
     standard t-sequence. Not a reference-parity path — an opt-in mode.
     """
-    L = _lambda_max_psd(A) * 1.02 + 1e-12
+    # the shared power-iteration helper (plain lax code, also used inside
+    # the Pallas kernels); imported lazily to keep this module free of a
+    # top-level dependency on the kernels module
+    from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import _lambda_max
+
+    L = _lambda_max(A, 16) * 1.02 + 1e-12
     inv_L = 1.0 / L
     one_ = jnp.asarray(1.0, A.dtype)
 

@@ -198,3 +198,20 @@ def test_dp_fista_matches_single_device():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(st2.W), np.asarray(st1.W),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_coder_typo_rejected_everywhere():
+    from onmf_ontf_ndl_tpu.apps.image import ImageReconstructor
+    from onmf_ontf_ndl_tpu.models.onmf import train_dict
+    from onmf_ontf_ndl_tpu.models.state import init_state
+
+    state = init_state(jax.random.key(0), 8, 3)
+    X = jnp.ones((8, 10))
+    with pytest.raises(ValueError, match="coder"):
+        train_dict(state, X, iterations=3, batch_size=4, coder="fsita")
+    rec = ImageReconstructor(data=np.ones((12, 12), np.float32),
+                             n_components=3, iterations=2, sub_iterations=2,
+                             num_patches=8, batch_size=4, patch_size=3,
+                             is_color=False, coder="FISTA")
+    with pytest.raises(ValueError, match="coder"):
+        rec.train_dict()
