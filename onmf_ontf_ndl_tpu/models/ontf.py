@@ -62,6 +62,7 @@ class OnlineNTF:
         alpha: float | None = None,
         beta: float | None = None,
         subsample: bool = True,
+        coder: str = "bcd",
         key: jax.Array | None = None,
         seed: int = 0,
         dtype=jnp.float32,
@@ -80,6 +81,7 @@ class OnlineNTF:
         self.alpha = 2.0 if alpha is None else float(alpha)
         self.beta = 1.0 if beta is None else float(beta)
         self.subsample = subsample
+        self.coder = coder
         self.dtype = dtype
 
         X_unfold = unfold(self.X, mode)
@@ -115,6 +117,7 @@ class OnlineNTF:
         H = nonneg_code(
             X, W, key=key, alpha=self.alpha,
             sub_iter=self.sub_iterations, stopping_diff=0.01,
+            method=self.coder,
         )
         return H.T
 
@@ -125,7 +128,7 @@ class OnlineNTF:
             iterations=self.iterations, batch_size=self.batch_size,
             subsample=self.subsample, alpha=self.alpha, beta=self.beta,
             sub_iter=self.sub_iterations, stopping_diff=0.01,
-            track_code=False,
+            track_code=False, coder=self.coder,
         )
         st = self.state
         return st.W, st.A, st.B, self.code
