@@ -117,6 +117,7 @@ class ImageReconstructorTensor:
         beta: float | None = None,
         fast: bool = False,
         coder: str = "bcd",
+        coder_sub_iter: int | None = None,
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -141,6 +142,15 @@ class ImageReconstructorTensor:
         self.beta = 1.0 if beta is None else float(beta)
         self.fast = fast
         self.coder = coder
+        # The reference's tensor coder is sklearn lasso_lars — an EXACT
+        # solve; its block_iterations knob is stored but never used by
+        # src/ontf.py (:47). Our iterative coder approximates that exact
+        # solve, so its sweep count must not be crippled by a low
+        # block_iterations: floor it at 30 unless explicitly overridden
+        # (reconstruction-level parity, SURVEY.md §7 hard-part b).
+        self.coder_sub_iter = (int(coder_sub_iter)
+                               if coder_sub_iter is not None
+                               else max(int(block_iterations), 30))
         self.seed = seed
         self.dtype = dtype
         self.state = None
@@ -163,7 +173,7 @@ class ImageReconstructorTensor:
             patch_size=self.patch_size,
             mode=mode, joint=joint,
             alpha=self.alpha, beta=self.beta,
-            sub_iter=self.block_iterations,
+            sub_iter=self.coder_sub_iter,
             use_stopping=not self.fast,
             backend=_resolve_backend("auto", not self.fast),
             coder=self.coder,
@@ -185,7 +195,7 @@ class ImageReconstructorTensor:
         return reconstruct(
             jnp.asarray(data, self.dtype), self.W, jax.random.key(29),
             patch_size=self.patch_size, stride=recons_resolution, alpha=alpha,
-            method=self.coder,
+            sub_iter=self.coder_sub_iter, method=self.coder,
         )
 
     def reconstruct_image(self, path: str | None = None, data=None,
@@ -212,7 +222,8 @@ class ImageReconstructorTensor:
                                     downscale_factor)
         return reconstruct(
             data, self.W, jax.random.key(29), patch_size=k,
-            alpha=self.alpha, full_grid=True, method=self.coder,
+            alpha=self.alpha, full_grid=True,
+            sub_iter=self.coder_sub_iter, method=self.coder,
         )
 
     def display_second_dictionary(self, H, save_path: str | None = None,
