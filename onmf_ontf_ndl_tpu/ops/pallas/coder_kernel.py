@@ -235,9 +235,28 @@ def _lambda_max(G, iters: int):
     return jnp.sum(v * Gv) / jnp.maximum(jnp.sum(v * v), 1e-30)
 
 
+def _lambda_max_warm(G, v, iters: int):
+    """Power-iteration Rayleigh quotient from a caller-supplied start
+    vector; returns ``(lambda, v_final)`` so the eigenvector estimate can
+    be carried across calls (the early-stopping kernels re-evaluate the
+    stopping statistic every sweep on slowly-changing iterates — warm
+    starts cut the per-sweep sequential matvec chain several-fold)."""
+    def it(_, v):
+        w = jax.lax.dot_general(G, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        nrm = jnp.sqrt(jnp.sum(w * w))
+        return w / jnp.maximum(nrm, 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, it, v)
+    Gv = jax.lax.dot_general(G, v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    lam = jnp.sum(v * Gv) / jnp.maximum(jnp.sum(v * v), 1e-30)
+    return lam, v
+
+
 def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, acorr_ref, A_ref, B_ref,
-                     H0_ref, H_ref, Hold_ref, conv_ref, *, r, sub_iter, bk,
-                     pi_iters):
+                     H0_ref, H_ref, Hold_ref, vs_ref, conv_ref, *, r,
+                     sub_iter, bk, pi_iters):
     """Early-stopping sweeps on one (R, TN) tile of H.
 
     Reference semantics (``/root/reference/src/onmf.py:252-268``): run
@@ -254,6 +273,14 @@ def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, acorr_ref, A_ref, B_ref,
     conv_ref[0] = 0
     alpha = alpha_ref[0, 0]
     stop2 = stop_ref[0, 0] * stop_ref[0, 0]
+    # warm-started power-iteration vectors (columns 0/1: delta / iterate
+    # Grams) — the spectra drift slowly between sweeps, so carrying the
+    # eigenvector estimates lets each sweep run few iterations
+    R = H_ref.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    v0 = 0.5 + ((idx * 40503) % 65536).astype(jnp.float32) / 65536.0
+    vs_ref[:, 0:1] = v0
+    vs_ref[:, 1:2] = v0
 
     def sweep(i, _):
         @pl.when(conv_ref[0] == 0)
@@ -269,8 +296,10 @@ def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, acorr_ref, A_ref, B_ref,
             Gh = jax.lax.dot_general(
                 Hold_ref[...], Hold_ref[...], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            num = _lambda_max(Gd, pi_iters)
-            den = _lambda_max(Gh, pi_iters)
+            num, vd = _lambda_max_warm(Gd, vs_ref[:, 0:1], pi_iters)
+            den, vh = _lambda_max_warm(Gh, vs_ref[:, 1:2], pi_iters)
+            vs_ref[:, 0:1] = vd
+            vs_ref[:, 1:2] = vh
             # sigma(delta)^2 <= stop^2 * sigma(Hold)^2  <=>  rel <= stop
             conv_ref[0] = (num <= stop2 * den).astype(jnp.int32)
 
@@ -285,7 +314,7 @@ def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, acorr_ref, A_ref, B_ref,
 def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
                            alpha=0.0, stopping_diff=0.01, *,
                            sub_iter: int = 10, block_n: int | None = None,
-                           block_rows: int = 2, pi_iters: int = 24,
+                           block_rows: int = 2, pi_iters: int = 12,
                            interpret: bool = False) -> jax.Array:
     """Fused early-stopping nonnegative sparse coding from Gram form.
 
@@ -347,6 +376,7 @@ def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((R, TN), f32),
+            pltpu.VMEM((R, 128), f32),
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
@@ -355,8 +385,8 @@ def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
 
 
 def _fista_kernel(stop_ref, alpha_ref, A_ref, B_ref, H0_ref, H_ref,
-                  Y_ref, tmom_ref, conv_ref, *, sub_iter, use_stopping,
-                  pi_iters):
+                  Y_ref, vs_ref, tmom_ref, conv_ref, *, sub_iter,
+                  use_stopping, pi_iters):
     """Fused FISTA sweeps on one (R, TN) tile (the ``coder="fista"``
     mode of ``models/onmf.py``; semantics of ``ops/coder.py::_fista_impl``).
 
@@ -378,8 +408,14 @@ def _fista_kernel(stop_ref, alpha_ref, A_ref, B_ref, H0_ref, H_ref,
     alpha = alpha_ref[0, 0]
     stop2 = stop_ref[0, 0] * stop_ref[0, 0]
     A = A_ref[...]
-    L = _lambda_max(A, pi_iters) * 1.02 + 1e-12
+    L = _lambda_max(A, 16) * 1.02 + 1e-12
     inv_L = 1.0 / L
+    if use_stopping:
+        R = H_ref.shape[0]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        v0 = 0.5 + ((idx * 40503) % 65536).astype(jnp.float32) / 65536.0
+        vs_ref[:, 0:1] = v0
+        vs_ref[:, 1:2] = v0
 
     def sweep(i, _):
         def body():
@@ -403,8 +439,10 @@ def _fista_kernel(stop_ref, alpha_ref, A_ref, B_ref, H0_ref, H_ref,
                 Gh = jax.lax.dot_general(
                     H, H, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                num = _lambda_max(Gd, pi_iters)
-                den = _lambda_max(Gh, pi_iters)
+                num, vd = _lambda_max_warm(Gd, vs_ref[:, 0:1], pi_iters)
+                den, vh = _lambda_max_warm(Gh, vs_ref[:, 1:2], pi_iters)
+                vs_ref[:, 0:1] = vd
+                vs_ref[:, 1:2] = vh
                 conv_ref[0] = (num <= stop2 * den).astype(jnp.int32)
 
         if use_stopping:
@@ -422,7 +460,7 @@ def _fista_kernel(stop_ref, alpha_ref, A_ref, B_ref, H0_ref, H_ref,
 def fista_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
                  alpha=0.0, stopping_diff=0.01, *, sub_iter: int = 10,
                  use_stopping: bool = True, block_n: int | None = None,
-                 pi_iters: int = 16, interpret: bool = False) -> jax.Array:
+                 pi_iters: int = 12, interpret: bool = False) -> jax.Array:
     """Fused FISTA nonnegative-LASSO coder from Gram form (TPU).
 
     Args/returns as :func:`coder_sweeps`; ``use_stopping=False`` runs
@@ -468,6 +506,7 @@ def fista_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((R, TN), f32),
+            pltpu.VMEM((R, 128), f32),
             pltpu.SMEM((1,), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
         ],
