@@ -20,7 +20,6 @@ Usage: python examples/production_recipe.py [--devices N] [--cpu]
 
 import argparse
 import os
-import tempfile
 
 
 def main():
@@ -62,25 +61,31 @@ def main():
               * (rng.random((r, n)) < 0.3)) + 0.01 * rng.random((d, n)),
         jnp.float32)
 
-    state = init_state(jax.random.key(0), d, r)
-    ckpt = os.path.join(tempfile.mkdtemp(), "state.npz")
+    ckpt = os.environ.get("CKPT", "/tmp/onmf_production_state.npz")
+    chunk_iters, total_chunks = 50, 5
 
-    # train in chunks with a checkpoint between each (crash-resume-safe)
-    for chunk in range(4):
+    # crash-resume-safe training: a STABLE checkpoint path plus a resume
+    # branch — rerunning this script after a crash picks up where the
+    # last completed chunk left off (the checkpoint carries the PRNG key
+    # and the t^-beta schedule counter, so the resumed run is exactly
+    # the uninterrupted one)
+    if os.path.exists(ckpt):
+        state = load_state(ckpt)
+        done = int(round(float(state.t))) // chunk_iters
+        print(f"resuming from {ckpt}: t={float(state.t):.0f} "
+              f"({done}/{total_chunks} chunks done)")
+    else:
+        state = init_state(jax.random.key(0), d, r)
+        done = 0
+
+    for chunk in range(done, total_chunks):
         state = dp_train_dict(
             mesh, state, shard_batch(mesh, X),
-            iterations=50, batch_size_per_device=512,
+            iterations=chunk_iters, batch_size_per_device=512,
             coder="fista", sub_iter=20)
         save_state(ckpt, state)
         print(f"chunk {chunk}: t={float(state.t):.0f}  "
               f"checkpointed -> {ckpt}")
-
-    # resume from the checkpoint and keep training
-    state = load_state(ckpt)
-    state = dp_train_dict(mesh, state, shard_batch(mesh, X),
-                          iterations=50, batch_size_per_device=512,
-                          coder="fista", sub_iter=20)
-    print(f"resumed + trained: t={float(state.t):.0f}")
 
     # quality: code the stream against the learned dictionary
     from onmf_ontf_ndl_tpu.ops.coder import nonneg_code

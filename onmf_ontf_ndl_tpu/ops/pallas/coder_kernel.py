@@ -203,6 +203,14 @@ def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
     return out[:r, :n].astype(B.dtype)
 
 
+def _fixed_start(r: int):
+    """Fixed unstructured positive start vector for the power iterations
+    (a structured start like ``G @ 1`` has a blind spot: deltas whose
+    per-column rank sums cancel read as a spuriously tiny norm)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    return 0.5 + ((idx * 40503) % 65536).astype(jnp.float32) / 65536.0
+
+
 def _lambda_max(G, iters: int):
     """Top eigenvalue of a small PSD matrix by power iteration.
 
@@ -210,29 +218,11 @@ def _lambda_max(G, iters: int):
     stopping statistic: ``sigma_max(M)^2 = lambda_max(M M^T)``. The
     Rayleigh quotient after ``iters`` normalized power steps is accurate
     to ~(lambda2/lambda1)^(2*iters) relative — far tighter than the 0.01
-    relative-change threshold it feeds.
-
-    The start vector is a fixed pseudo-random positive vector (a
-    row-sum start ``G @ 1`` has a structured blind spot: deltas whose
-    per-column rank sums cancel give ``G @ 1 ~= 0`` and would read as a
-    spuriously tiny norm). An unstructured start is orthogonal to the
-    top eigenvector only on a measure-zero set, and the Rayleigh
+    relative-change threshold it feeds. The fixed start is orthogonal to
+    the top eigenvector only on a measure-zero set, and the Rayleigh
     quotient only ever under-estimates, never inflates.
     """
-    r = G.shape[0]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
-    v = 0.5 + ((idx * 40503) % 65536).astype(jnp.float32) / 65536.0
-
-    def it(_, v):
-        w = jax.lax.dot_general(G, v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        nrm = jnp.sqrt(jnp.sum(w * w))
-        return w / jnp.maximum(nrm, 1e-30)
-
-    v = jax.lax.fori_loop(0, iters, it, v)
-    Gv = jax.lax.dot_general(G, v, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    return jnp.sum(v * Gv) / jnp.maximum(jnp.sum(v * v), 1e-30)
+    return _lambda_max_warm(G, _fixed_start(G.shape[0]), iters)[0]
 
 
 def _lambda_max_warm(G, v, iters: int):
@@ -276,9 +266,7 @@ def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, acorr_ref, A_ref, B_ref,
     # warm-started power-iteration vectors (columns 0/1: delta / iterate
     # Grams) — the spectra drift slowly between sweeps, so carrying the
     # eigenvector estimates lets each sweep run few iterations
-    R = H_ref.shape[0]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    v0 = 0.5 + ((idx * 40503) % 65536).astype(jnp.float32) / 65536.0
+    v0 = _fixed_start(H_ref.shape[0])
     vs_ref[:, 0:1] = v0
     vs_ref[:, 1:2] = v0
 
@@ -296,8 +284,14 @@ def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, acorr_ref, A_ref, B_ref,
             Gh = jax.lax.dot_general(
                 Hold_ref[...], Hold_ref[...], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            num, vd = _lambda_max_warm(Gd, vs_ref[:, 0:1], pi_iters)
-            den, vh = _lambda_max_warm(Gh, vs_ref[:, 1:2], pi_iters)
+            # mix the warm vectors with the fixed start: the previous
+            # sweep's eigenvector could be near-orthogonal to an
+            # abruptly-rotated delta (the blind spot the fixed start
+            # avoids); the mix keeps warm-start speed without it
+            num, vd = _lambda_max_warm(
+                Gd, vs_ref[:, 0:1] + 0.05 * v0, pi_iters)
+            den, vh = _lambda_max_warm(
+                Gh, vs_ref[:, 1:2] + 0.05 * v0, pi_iters)
             vs_ref[:, 0:1] = vd
             vs_ref[:, 1:2] = vh
             # sigma(delta)^2 <= stop^2 * sigma(Hold)^2  <=>  rel <= stop
@@ -408,12 +402,13 @@ def _fista_kernel(stop_ref, alpha_ref, A_ref, B_ref, H0_ref, H_ref,
     alpha = alpha_ref[0, 0]
     stop2 = stop_ref[0, 0] * stop_ref[0, 0]
     A = A_ref[...]
-    L = _lambda_max(A, 16) * 1.02 + 1e-12
+    # the Lipschitz estimate floors at 16 iterations regardless of the
+    # stopping statistic's pi_iters (an under-estimated L over-sizes the
+    # 1/L step)
+    L = _lambda_max(A, max(16, pi_iters)) * 1.02 + 1e-12
     inv_L = 1.0 / L
     if use_stopping:
-        R = H_ref.shape[0]
-        idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-        v0 = 0.5 + ((idx * 40503) % 65536).astype(jnp.float32) / 65536.0
+        v0 = _fixed_start(H_ref.shape[0])
         vs_ref[:, 0:1] = v0
         vs_ref[:, 1:2] = v0
 
@@ -439,8 +434,10 @@ def _fista_kernel(stop_ref, alpha_ref, A_ref, B_ref, H0_ref, H_ref,
                 Gh = jax.lax.dot_general(
                     H, H, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                num, vd = _lambda_max_warm(Gd, vs_ref[:, 0:1], pi_iters)
-                den, vh = _lambda_max_warm(Gh, vs_ref[:, 1:2], pi_iters)
+                num, vd = _lambda_max_warm(
+                    Gd, vs_ref[:, 0:1] + 0.05 * v0, pi_iters)
+                den, vh = _lambda_max_warm(
+                    Gh, vs_ref[:, 1:2] + 0.05 * v0, pi_iters)
                 vs_ref[:, 0:1] = vd
                 vs_ref[:, 1:2] = vh
                 conv_ref[0] = (num <= stop2 * den).astype(jnp.int32)
