@@ -1,0 +1,114 @@
+"""Beyond-reference-scale extras: large-graph NDL and a long-run soak.
+
+Not part of ``run_all.py`` (kept separate to bound the per-round driver
+wall): run manually with ``python benchmarks/scale_extras.py`` to
+refresh the ``results.json`` entries.
+
+1. **32,400-node torus NDL** (180x180; 1.7x the arxiv node count, 2.6x
+   the dense-representation limit in memory terms): trains and sparsely
+   reconstructs via ``BitsetGraph`` on one chip — the structured-graph
+   analogue of the arxiv run with a known-good target (torus recon
+   should be ~perfect).
+2. **500k-step training soak**: one fused scan of 500,000 online steps
+   at the bench shape — numerical-stability evidence for long
+   production runs (finite objective, valid dictionary, no NaN).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "results.json")
+
+
+def torus_edges(m):
+    edges = []
+    for i in range(m):
+        for j in range(m):
+            u = i * m + j
+            edges.append((u, ((i + 1) % m) * m + j))
+            edges.append((u, i * m + (j + 1) % m))
+    return edges
+
+
+def big_torus_ndl(m=180):
+    import jax
+    from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
+    from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
+
+    t0 = time.time()
+    g = bitset_graph_from_edges(torus_edges(m))
+    t_load = time.time() - t0
+    print(f"torus {m}x{m}: {g.num_nodes} nodes, {g.num_edges} edges, "
+          f"bitset built+shipped in {t_load:.1f}s", file=sys.stderr)
+
+    rec = NetworkReconstructor(
+        source=g, n_components=25, MCMC_iterations=50, sub_iterations=30,
+        sample_size=500, batch_size=100, k1=0, k2=2, num_chains=16,
+        fast=True, seed=0)
+    t0 = time.time()
+    rec.train_dict()
+    float(np.asarray(rec.W).sum())          # fence (axon: no block_until)
+    t_train = time.time() - t0
+    t0 = time.time()
+    rec.reconstruct_network(recons_iter=1_200_000, num_chains=4096)
+    acc = float(rec.compute_recons_accuracy())
+    t_rec = time.time() - t0
+    print(f"train {t_train:.1f}s  recon {t_rec:.1f}s  accuracy {acc:.4f}",
+          file=sys.stderr)
+    return {"nodes": int(g.num_nodes), "edges": int(g.num_edges),
+            "load_s": round(t_load, 2), "train_s": round(t_train, 2),
+            "recon_s": round(t_rec, 2), "recons_accuracy": round(acc, 4)}
+
+
+def soak_500k():
+    import jax
+    import jax.numpy as jnp
+    from onmf_ontf_ndl_tpu.models.onmf import train_dict
+    from onmf_ontf_ndl_tpu.models.state import init_state
+
+    d, r, batch = 300, 25, 1024
+    steps = 500_000
+    pool = jax.random.uniform(jax.random.key(1), (d, 8192))
+    state = init_state(jax.random.key(0), d, r)
+    t0 = time.time()
+    state, _ = train_dict(state, pool, iterations=steps + 1,
+                          batch_size=batch, alpha=0.0, beta=1.0,
+                          stopping_diff=None, track_code=False)
+    W = np.asarray(state.W)
+    wall = time.time() - t0
+    from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
+
+    H = nonneg_code(pool, state.W, key=jax.random.key(2), alpha=0.0,
+                    sub_iter=20, stopping_diff=None)
+    obj = float(jnp.linalg.norm(pool - state.W @ H)
+                / jnp.linalg.norm(pool))
+    assert np.isfinite(W).all() and (W >= 0).all()
+    assert (np.linalg.norm(W, axis=0) <= 1.0 + 1e-5).all()
+    print(f"soak: {steps} steps in {wall:.1f}s "
+          f"({steps * batch / wall / 1e6:.1f}M patches/s), recon proxy "
+          f"{obj:.4f}, W finite/nonneg/normed", file=sys.stderr)
+    return {"steps": steps, "batch": batch, "wall_s": round(wall, 2),
+            "patches_per_s": round(steps * batch / wall),
+            "w_finite_nonneg_normed": True}
+
+
+def main():
+    results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
+    results["torus_32k_scale_ndl"] = big_torus_ndl()
+    results["soak_500k_steps"] = soak_500k()
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({k: results[k] for k in
+                      ("torus_32k_scale_ndl", "soak_500k_steps")}))
+
+
+if __name__ == "__main__":
+    main()
