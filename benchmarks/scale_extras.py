@@ -35,7 +35,7 @@ def torus_edges(m):
     return edges
 
 
-def big_torus_ndl(m=180):
+def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096):
     import jax
     from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
     from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
@@ -55,7 +55,7 @@ def big_torus_ndl(m=180):
     float(np.asarray(rec.W).sum())          # fence (axon: no block_until)
     t_train = time.time() - t0
     t0 = time.time()
-    rec.reconstruct_network(recons_iter=1_200_000, num_chains=4096)
+    rec.reconstruct_network(recons_iter=recons_iter, num_chains=num_chains)
     acc = float(rec.compute_recons_accuracy())
     t_rec = time.time() - t0
     print(f"train {t_train:.1f}s  recon {t_rec:.1f}s  accuracy {acc:.4f}",
@@ -98,16 +98,28 @@ def soak_500k():
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", type=int, default=180,
+                    help="torus side (256 = the 65,536-node BitsetGraph "
+                         "boundary; ships side^2/8 bytes over the host "
+                         "link)")
+    args = ap.parse_args()
     results = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
             results = json.load(f)
-    results["torus_32k_scale_ndl"] = big_torus_ndl()
+    scale = (args.side / 180.0) ** 2
+    key = "torus_32k_scale_ndl" if args.side == 180 else (
+        f"torus_{args.side * args.side}_scale_ndl")
+    results[key] = big_torus_ndl(
+        args.side, recons_iter=int(1_200_000 * scale),
+        num_chains=4096 if args.side <= 180 else 8192)
     results["soak_500k_steps"] = soak_500k()
     with open(OUT, "w") as f:
         json.dump(results, f, indent=2)
-    print(json.dumps({k: results[k] for k in
-                      ("torus_32k_scale_ndl", "soak_500k_steps")}))
+    print(json.dumps({k: results[k] for k in (key, "soak_500k_steps")}))
 
 
 if __name__ == "__main__":
