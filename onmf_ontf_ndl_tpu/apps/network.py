@@ -59,7 +59,7 @@ __all__ = ["NetworkReconstructor", "ndl_train", "reconstruct_network",
         "B_bytes", "parents", "mcmc_iterations", "sample_size",
         "inner_iterations", "batch_size", "use_glauber", "weighted",
         "sub_iter", "use_stopping", "backend", "num_chains", "subsample",
-        "discard_first", "coder",
+        "discard_first", "coder", "psum_axis",
     ),
 )
 def ndl_train(
@@ -85,6 +85,7 @@ def ndl_train(
     subsample: bool = False,
     discard_first: bool = True,
     coder: str = "bcd",
+    psum_axis: str | None = None,
 ):
     """Fused NDL trainer. Returns ``(state, code, emb)`` where code is the
     accumulated (r, sample_size) code matrix.
@@ -100,7 +101,13 @@ def ndl_train(
     per chain) instead of one chain — the TPU lever against the
     sequential chain depth (the reference runs one chain,
     ``network_reconstruction_nx.py:315-329``). ``emb0`` must then be
-    (num_chains, k)."""
+    (num_chains, k).
+
+    ``psum_axis``: set when running inside ``shard_map`` with the chain
+    ensemble sharded over that mesh axis (``parallel.dp.dp_ndl_train``):
+    per-device chain key streams are decorrelated by device index and
+    the sufficient statistics are psum'd, so every device's dictionary
+    update sees the full cross-device sample."""
     dtype = state.W.dtype
     alpha_t = jnp.asarray(alpha, dtype)
     beta_t = jnp.asarray(beta, dtype)
@@ -121,11 +128,14 @@ def ndl_train(
         st, emb, code = carry
         key, ck, = jax.random.split(st.key)
         st = dataclasses.replace(st, key=key)
+        if psum_axis is not None:
+            ck = jax.random.fold_in(ck, lax.axis_index(psum_axis))
         X, emb = sample(ck, emb)
         st, code_new, _ = _train_scan(
             st, X.astype(dtype), code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, subsample, sub_iter,
             use_stopping, True, "stale", backend=backend, coder=coder,
+            psum_axis=psum_axis,
         )
         if discard_first:
             code = jnp.where(i == 0, code, code_new)

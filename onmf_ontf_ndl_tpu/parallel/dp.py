@@ -33,7 +33,7 @@ from onmf_ontf_ndl_tpu.models.state import OnmfState
 from onmf_ontf_ndl_tpu.models.onmf import _step_inner, _train_scan
 
 __all__ = ["dp_onmf_step", "dp_train_dict", "dp_train_image_dict",
-           "shard_batch"]
+           "dp_ndl_train", "shard_batch"]
 
 
 def shard_batch(mesh: Mesh, X: jax.Array, axis: str = "dp") -> jax.Array:
@@ -237,3 +237,88 @@ def dp_train_image_dict(
                          resolve_backend(backend, False), coder)
     return train(state, img, jnp.asarray(alpha, img.dtype),
                  jnp.asarray(beta, img.dtype))
+
+
+@functools.lru_cache(maxsize=64)
+def _dp_ndl_fn(mesh, B_bytes, parents, mcmc_iterations, sample_size_pd,
+               inner_iterations, batch_size, use_glauber, weighted,
+               sub_iter, use_stopping, chains_pd, discard_first, coder,
+               axis, backend):
+    from onmf_ontf_ndl_tpu.apps.network import ndl_train
+
+    def local(st, g, emb0, alpha, beta, sd):
+        if chains_pd == 1:
+            emb0 = emb0[0]          # local (1, k) -> (k,) single chain
+        st, code, emb = ndl_train(
+            st, g, emb0, B_bytes, parents,
+            mcmc_iterations=mcmc_iterations, sample_size=sample_size_pd,
+            inner_iterations=inner_iterations, batch_size=batch_size,
+            alpha=alpha, beta=beta, sub_iter=sub_iter,
+            stopping_diff=sd, use_glauber=use_glauber, weighted=weighted,
+            use_stopping=use_stopping, backend=backend,
+            num_chains=chains_pd, discard_first=discard_first,
+            coder=coder, psum_axis=axis,
+        )
+        if chains_pd == 1:
+            emb = emb[None]         # (k,) -> (1, k) for the sharded out
+        return st, code, emb
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(), P(), P()),
+        out_specs=(P(), P(None, axis), P(axis, None)),
+        check_vma=False,
+    ))
+
+
+def dp_ndl_train(
+    mesh: Mesh,
+    state: OnmfState,
+    g,
+    emb0: jax.Array,
+    B_bytes: bytes,
+    parents: tuple[int, ...],
+    *,
+    mcmc_iterations: int,
+    sample_size_per_device: int,
+    inner_iterations: int,
+    batch_size: int,
+    num_chains_per_device: int = 1,
+    alpha: float = 0.0,
+    beta: float = 1.0,
+    sub_iter: int = 10,
+    stopping_diff: float = 0.01,
+    use_glauber: bool = True,
+    weighted: bool = False,
+    use_stopping: bool = True,
+    discard_first: bool = True,
+    coder: str = "bcd",
+    axis: str = "dp",
+    backend: str = "auto",
+):
+    """Data-parallel network dictionary learning: every device runs its
+    own MCMC chain ensemble (``num_chains_per_device`` chains sampling
+    ``sample_size_per_device`` patches per round; key streams
+    decorrelated by device index) and the sufficient statistics are
+    psum'd — each dictionary update sees the full
+    ``sample_size_per_device * ndev`` cross-device sample, the exact DP
+    semantics of ``dp_train_dict`` applied to the NDL pipeline.
+
+    ``emb0``: (ndev * num_chains_per_device, k), sharded over the chain
+    axis. The graph ``g`` is replicated. Returns ``(state, code, emb)``
+    with ``code`` (r, sample_size_per_device * ndev) column-sharded and
+    ``emb`` the final chain embeddings, same sharding as ``emb0``.
+    """
+    from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
+    sd = jnp.asarray(stopping_diff, state.W.dtype)
+    train = _dp_ndl_fn(
+        mesh, B_bytes, parents, int(mcmc_iterations),
+        int(sample_size_per_device), int(inner_iterations),
+        int(batch_size), bool(use_glauber), bool(weighted), int(sub_iter),
+        bool(use_stopping), int(num_chains_per_device),
+        bool(discard_first), coder, axis,
+        resolve_backend(backend, use_stopping))
+    return train(state, g, emb0,
+                 jnp.asarray(alpha, state.W.dtype),
+                 jnp.asarray(beta, state.W.dtype), sd)

@@ -137,3 +137,63 @@ def test_auto_train_dict_matches_single_device():
                                np.asarray(st_single.W), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(code_auto),
                                np.asarray(code_single), rtol=1e-12)
+
+
+def test_dp_ndl_train_virtual_mesh():
+    """Data-parallel NDL: chains sharded over a 4-device mesh, psum'd
+    statistics; the run must produce a valid advancing state, sharded
+    code/embeddings, and be deterministic."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from onmf_ontf_ndl_tpu.data.graphs import graph_from_adjacency
+    from onmf_ontf_ndl_tpu.models.state import init_state
+    from onmf_ontf_ndl_tpu.parallel.dp import dp_ndl_train
+    from onmf_ontf_ndl_tpu.parallel.mesh import make_mesh
+    from onmf_ontf_ndl_tpu.samplers.motif import (path_adj, tree_parents,
+                                                  tree_sample)
+
+    m = 6
+    n = m * m
+    A = np.zeros((n, n), bool)
+    for i in range(m):
+        for j in range(m):
+            u = i * m + j
+            for (di, dj) in [(1, 0), (0, 1)]:
+                v = ((i + di) % m) * m + (j + dj) % m
+                A[u, v] = A[v, u] = True
+    g = graph_from_adjacency(A)
+    B = path_adj(0, 2)
+    parents = tree_parents(B)
+    k = B.shape[0]
+
+    ndev, chains_pd = 4, 2
+    mesh = make_mesh({"dp": ndev}, jax.devices()[:ndev])
+    keys = jax.random.split(jax.random.key(3), ndev * chains_pd)
+    emb0 = jnp.stack([tree_sample(kk, parents, g, jnp.int32(i * 4))
+                      for i, kk in enumerate(keys)])
+    state = init_state(jax.random.key(0), k * k, 6)
+
+    def run():
+        return dp_ndl_train(
+            mesh, state, g, emb0,
+            np.asarray(B, np.int8).tobytes(), parents,
+            mcmc_iterations=4, sample_size_per_device=24,
+            inner_iterations=5, batch_size=12,
+            num_chains_per_device=chains_pd)
+
+    st, code, emb = run()
+    assert float(st.t) == 4 * 5
+    W = np.asarray(st.W)
+    assert (W >= 0).all() and np.isfinite(W).all()
+    assert (np.linalg.norm(W, axis=0) <= 1 + 1e-5).all()
+    assert code.shape == (6, 24 * ndev)
+    assert emb.shape == (ndev * chains_pd, k)
+    adj = np.asarray(g.adj)
+    for row in np.asarray(emb):
+        for a, b in zip(row[:-1], row[1:]):
+            assert adj[a, b]
+    # deterministic
+    st2, code2, _ = run()
+    np.testing.assert_array_equal(np.asarray(st.W), np.asarray(st2.W))
