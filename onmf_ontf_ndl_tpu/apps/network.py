@@ -438,6 +438,21 @@ class NetworkReconstructor:
             from onmf_ontf_ndl_tpu.utils.checkpoint import (
                 load_state, save_state)
 
+            # the resume count is derived from the schedule counter,
+            # which only advances when the inner loop runs > 1
+            # iterations (models/onmf.py _train_scan) and assumes a
+            # zero-based schedule — guard both
+            if self.sub_iterations <= 1:
+                raise ValueError(
+                    "checkpointed training needs sub_iterations > 1 "
+                    "(the resume count is recovered from the schedule "
+                    "counter, which sub_iterations <= 1 does not "
+                    "advance)")
+            if float(self.state.t) != 0.0 and not resume:
+                raise ValueError(
+                    "checkpointed training starts from a fresh state "
+                    "(t = 0); for a warm-started state the t-derived "
+                    "resume count would be wrong")
             done = 0
             if resume and _os.path.exists(checkpoint_path):
                 self.state, extra = load_state(
@@ -455,11 +470,21 @@ class NetworkReconstructor:
                 save_state(checkpoint_path, self.state,
                            extra={"emb": self.emb, "code": self.code})
         else:
-            self.code = run(self.MCMC_iterations, discard_first=True)
+            # the reference ACCUMULATES self.code across train_dict
+            # calls (network_reconstruction_nx.py:356,384; each call
+            # discards its own first iteration's H) — match that.
+            # (ndl_train rounds the code width up to a chain-ensemble
+            # multiple; the first call defines the accumulator width.)
+            code_new = run(self.MCMC_iterations, discard_first=True)
+            if self.code.shape == code_new.shape:
+                self.code = self.code + code_new
+            else:
+                self.code = code_new
         return self.state.W
 
     def reconstruct_network(self, recons_iter: int = 100, alpha: float = 0.0,
-                            num_chains: int = 1, sparse: bool | None = None):
+                            num_chains: int | None = None,
+                            sparse: bool | None = None):
         """Reconstruct the network (``reconstruct_network``, ``:444-511``).
 
         ``sparse=False`` returns a dense boolean (N, N) matrix;
@@ -471,8 +496,11 @@ class NetworkReconstructor:
         sparse for a :class:`BitsetGraph` (whose whole point is never
         materializing (N, N)); pass ``sparse=True`` explicitly for a
         large dense-represented graph. Both paths implement the same
-        per-edge-mean + rounding semantics. ``num_chains > 1`` splits the
-        chain work over an ensemble."""
+        per-edge-mean + rounding semantics. ``num_chains`` defaults to
+        the instance's ensemble width; > 1 splits the chain work over an
+        ensemble."""
+        if num_chains is None:
+            num_chains = self.num_chains
         if sparse is None:
             sparse = isinstance(self.G, BitsetGraph)
         self.key, rk = jax.random.split(self.key)

@@ -378,8 +378,8 @@ def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
     return out[:r, :n].astype(B.dtype)
 
 
-def _fista_kernel(stop_ref, alpha_ref, A_ref, B_ref, H0_ref, H_ref,
-                  Y_ref, vs_ref, tmom_ref, conv_ref, *, sub_iter,
+def _fista_kernel(stop_ref, alpha_ref, invL_ref, A_ref, B_ref, H0_ref,
+                  H_ref, Y_ref, vs_ref, tmom_ref, conv_ref, *, sub_iter,
                   use_stopping, pi_iters):
     """Fused FISTA sweeps on one (R, TN) tile (the ``coder="fista"``
     mode of ``models/onmf.py``; semantics of ``ops/coder.py::_fista_impl``).
@@ -402,11 +402,10 @@ def _fista_kernel(stop_ref, alpha_ref, A_ref, B_ref, H0_ref, H_ref,
     alpha = alpha_ref[0, 0]
     stop2 = stop_ref[0, 0] * stop_ref[0, 0]
     A = A_ref[...]
-    # the Lipschitz estimate floors at 16 iterations regardless of the
-    # stopping statistic's pi_iters (an under-estimated L over-sizes the
-    # 1/L step)
-    L = _lambda_max(A, max(16, pi_iters)) * 1.02 + 1e-12
-    inv_L = 1.0 / L
+    # 1/L (Lipschitz step) is computed ONCE outside the kernel and
+    # staged through SMEM — A is identical for every grid cell, so the
+    # sequential power-iteration chain must not repeat per cell
+    inv_L = invL_ref[0, 0]
     if use_stopping:
         v0 = _fixed_start(H_ref.shape[0])
         vs_ref[:, 0:1] = v0
@@ -481,6 +480,11 @@ def fista_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
     Hp = jnp.zeros((R, N), f32).at[:r, :n].set(H0.astype(f32))
     stop_arr = jnp.full((1, 1), stopping_diff if use_stopping else 0.0, f32)
     alpha_arr = jnp.full((1, 1), alpha, f32)
+    # Lipschitz estimate (floors at 16 power iterations; the Rayleigh
+    # quotient under-estimates, hence the 1.02 safety factor) — once,
+    # outside the kernel
+    L = _lambda_max(Ap, max(16, pi_iters)) * 1.02 + 1e-12
+    invL_arr = (1.0 / L).reshape(1, 1).astype(f32)
 
     out = pl.pallas_call(
         functools.partial(_fista_kernel, sub_iter=sub_iter,
@@ -488,6 +492,8 @@ def fista_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
         out_shape=jax.ShapeDtypeStruct((R, N), f32),
         grid=(N // TN,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -508,7 +514,7 @@ def fista_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(stop_arr, alpha_arr, Ap, Bp, Hp)
+    )(stop_arr, alpha_arr, invL_arr, Ap, Bp, Hp)
     return out[:r, :n].astype(B.dtype)
 
 
@@ -525,17 +531,19 @@ def dict_update_sweep(W: jax.Array, A: jax.Array, B: jax.Array,
     asymmetric A (for the symmetric H H^T aggregate it is a no-op).
     Args: W (d, r), A (r, r), B (r, d). Returns updated W (d, r).
     """
-    A = A.T
     d, r = W.shape
     R = _round_up(r, 8)
     D = _round_up(d, 128)
     # the kernel holds 3 (R, D) buffers + (R, R) in VMEM; beyond ~10 MB
     # fall back to the XLA column-BCD (identical math; the unit-ball
-    # projection's full-row norm prevents simple D-tiling)
+    # projection's full-row norm prevents simple D-tiling). NOTE: the
+    # fallback takes the ORIGINAL A — only the kernel wants it
+    # transposed.
     if (3 * R * D + R * R) * 4 > 10 * 1024 * 1024:
         from onmf_ontf_ndl_tpu.ops.dict_update import dict_update_bcd
 
         return dict_update_bcd(W, A, B)
+    A = A.T
     f32 = jnp.float32
     Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
     Bp = jnp.zeros((R, D), f32).at[:r, :d].set(B.astype(f32))

@@ -108,21 +108,20 @@ def dp_onmf_step(
 
 @functools.lru_cache(maxsize=64)
 def _dp_train_fn(mesh, iterations, batch_size, sub_iter, dict_from, axis,
-                 backend, coder):
-    def local(st, X_local, alpha, beta):
-        sd = jnp.asarray(0.0, X_local.dtype)
+                 backend, coder, use_stopping):
+    def local(st, X_local, alpha, beta, sd):
         st, _, _ = _train_scan(
             st, X_local, jnp.zeros((st.r, X_local.shape[1]), X_local.dtype),
             alpha, beta, sd,
             iterations, batch_size, True, sub_iter,
-            False, False, dict_from, backend=backend, psum_axis=axis,
+            use_stopping, False, dict_from, backend=backend, psum_axis=axis,
             coder=coder,
         )
         return st
 
     return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(None, axis), P(), P()),
+        in_specs=(P(), P(None, axis), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     ))
@@ -138,6 +137,7 @@ def dp_train_dict(
     alpha: float = 0.0,
     beta: float = 1.0,
     sub_iter: int = 10,
+    stopping_diff: float | None = None,
     dict_from: str = "stale",
     axis: str = "dp",
     backend: str = "auto",
@@ -149,6 +149,12 @@ def dp_train_dict(
     ``batch_size_per_device * mesh.shape[axis]``. Runs the shared
     ``_train_scan`` with ``psum_axis`` set — identical math to the
     single-device path. Returns the final replicated state.
+
+    ``stopping_diff``: defaults to ``None`` (fixed ``sub_iter`` coder
+    sweeps — unlike the single-device ``train_dict`` default of 0.01).
+    Pass a value to enable the reference early-stopping rule; under DP
+    it is evaluated SHARD-LOCALLY (each shard's relative-change test
+    sees only its columns), the per-shard analogue of the batched rule.
     """
     ndev = mesh.shape[axis]
     n = X.shape[1]
@@ -158,25 +164,28 @@ def dp_train_dict(
             f"the {ndev}-way '{axis}' mesh axis")
     from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
 
+    use_stopping = stopping_diff is not None
     train = _dp_train_fn(mesh, int(iterations), int(batch_size_per_device),
                          int(sub_iter), dict_from, axis,
-                         resolve_backend(backend, False), coder)
+                         resolve_backend(backend, use_stopping), coder,
+                         use_stopping)
+    sd = jnp.asarray(stopping_diff if use_stopping else 0.0, X.dtype)
     return train(state, shard_batch(mesh, X, axis),
-                 jnp.asarray(alpha, X.dtype), jnp.asarray(beta, X.dtype))
+                 jnp.asarray(alpha, X.dtype), jnp.asarray(beta, X.dtype),
+                 sd)
 
 
 @functools.lru_cache(maxsize=64)
 def _dp_image_fn(mesh, outer_iterations, num_patches, inner_iterations,
                  batch_size, patch_size, sub_iter, dict_from, axis, backend,
-                 coder="bcd"):
+                 coder="bcd", use_stopping=False):
     from onmf_ontf_ndl_tpu.ops.patches import (
         extract_patches, random_patch_corners)
 
     k = patch_size
 
-    def local(st: OnmfState, img, alpha, beta):
+    def local(st: OnmfState, img, alpha, beta, sd):
         me = lax.axis_index(axis)
-        sd = jnp.asarray(0.0, img.dtype)
 
         def outer(st, o):
             key, pkey = jax.random.split(st.key)
@@ -189,8 +198,8 @@ def _dp_image_fn(mesh, outer_iterations, num_patches, inner_iterations,
                 st, X, jnp.zeros((st.r, num_patches), img.dtype),
                 alpha, beta, sd,
                 inner_iterations, batch_size, True, sub_iter,
-                False, False, dict_from, backend=backend, psum_axis=axis,
-                coder=coder,
+                use_stopping, False, dict_from, backend=backend,
+                psum_axis=axis, coder=coder,
             )
             return st, None
 
@@ -199,7 +208,7 @@ def _dp_image_fn(mesh, outer_iterations, num_patches, inner_iterations,
 
     return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     ))
@@ -218,6 +227,7 @@ def dp_train_image_dict(
     alpha: float = 0.0,
     beta: float = 1.0,
     sub_iter: int = 10,
+    stopping_diff: float | None = None,
     dict_from: str = "stale",
     axis: str = "dp",
     backend: str = "auto",
@@ -227,23 +237,29 @@ def dp_train_image_dict(
     random patches from the (replicated) image and runs the shared inner
     scan with psum'd aggregate statistics — the multi-chip version of
     :func:`onmf_ontf_ndl_tpu.apps.image.train_image_dict`.
+
+    ``stopping_diff``: ``None`` (default) runs fixed coder sweeps; a
+    value enables the early-stopping rule, evaluated shard-locally.
     """
     from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
 
+    use_stopping = stopping_diff is not None
     train = _dp_image_fn(mesh, int(outer_iterations),
                          int(num_patches_per_device), int(inner_iterations),
                          int(batch_size_per_device), int(patch_size),
                          int(sub_iter), dict_from, axis,
-                         resolve_backend(backend, False), coder)
+                         resolve_backend(backend, use_stopping), coder,
+                         use_stopping)
+    sd = jnp.asarray(stopping_diff if use_stopping else 0.0, img.dtype)
     return train(state, img, jnp.asarray(alpha, img.dtype),
-                 jnp.asarray(beta, img.dtype))
+                 jnp.asarray(beta, img.dtype), sd)
 
 
 @functools.lru_cache(maxsize=64)
 def _dp_ndl_fn(mesh, B_bytes, parents, mcmc_iterations, sample_size_pd,
                inner_iterations, batch_size, use_glauber, weighted,
-               sub_iter, use_stopping, chains_pd, discard_first, coder,
-               axis, backend):
+               sub_iter, use_stopping, chains_pd, subsample, discard_first,
+               coder, axis, backend):
     from onmf_ontf_ndl_tpu.apps.network import ndl_train
 
     def local(st, g, emb0, alpha, beta, sd):
@@ -256,7 +272,8 @@ def _dp_ndl_fn(mesh, B_bytes, parents, mcmc_iterations, sample_size_pd,
             alpha=alpha, beta=beta, sub_iter=sub_iter,
             stopping_diff=sd, use_glauber=use_glauber, weighted=weighted,
             use_stopping=use_stopping, backend=backend,
-            num_chains=chains_pd, discard_first=discard_first,
+            num_chains=chains_pd, subsample=subsample,
+            discard_first=discard_first,
             coder=coder, psum_axis=axis,
         )
         if chains_pd == 1:
@@ -291,6 +308,7 @@ def dp_ndl_train(
     use_glauber: bool = True,
     weighted: bool = False,
     use_stopping: bool = True,
+    subsample: bool = False,
     discard_first: bool = True,
     coder: str = "bcd",
     axis: str = "dp",
@@ -304,6 +322,10 @@ def dp_ndl_train(
     ``sample_size_per_device * ndev`` cross-device sample, the exact DP
     semantics of ``dp_train_dict`` applied to the NDL pipeline.
 
+    ``batch_size`` only takes effect with ``subsample=True`` (the
+    default trains every inner step on the full per-device sample, like
+    the single-device NDL default).
+
     ``emb0``: (ndev * num_chains_per_device, k), sharded over the chain
     axis. The graph ``g`` is replicated. Returns ``(state, code, emb)``
     with ``code`` (r, sample_size_per_device * ndev) column-sharded and
@@ -316,7 +338,7 @@ def dp_ndl_train(
         mesh, B_bytes, parents, int(mcmc_iterations),
         int(sample_size_per_device), int(inner_iterations),
         int(batch_size), bool(use_glauber), bool(weighted), int(sub_iter),
-        bool(use_stopping), int(num_chains_per_device),
+        bool(use_stopping), int(num_chains_per_device), bool(subsample),
         bool(discard_first), coder, axis,
         resolve_backend(backend, use_stopping))
     return train(state, g, emb0,
