@@ -132,6 +132,60 @@ def _coder_kernel(alpha_ref, inv_diag_ref, acorr_ref, A_ref, B_ref, H0_ref,
     jax.lax.fori_loop(0, sub_iter, sweep, 0)
 
 
+
+def _tile_plan(A, B, H0, n_bufs: int, block_n: int | None):
+    """Shared pad/tile planning for the (Gram, B, H0) -> H coder kernels.
+
+    ``n_bufs`` = number of (R, TN) f32 VMEM buffers the kernel holds
+    (inputs + output + scratch); the column tile is clamped so they stay
+    within an ~8 MB VMEM budget, balanced over the grid cells
+    (:func:`_pick_tile`). Returns ``None`` when the rank alone blows the
+    budget — callers take their XLA fallback (identical math).
+    """
+    r, n = B.shape
+    R = _round_up(r, 8)
+    if R * R * 4 > 6 * 1024 * 1024:
+        return None
+    vmem_budget = 8 * 1024 * 1024
+    max_tn = max(512, (vmem_budget // (4 * n_bufs * R)) // 128 * 128)
+    TN = _pick_tile(n, block_n, max_tn)
+    N = _round_up(n, TN)
+    f32 = jnp.float32
+    Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
+    Bp = jnp.zeros((R, N), f32).at[:r, :n].set(B.astype(f32))
+    Hp = jnp.zeros((R, N), f32).at[:r, :n].set(H0.astype(f32))
+    return r, n, R, TN, N, Ap, Bp, Hp
+
+
+def _launch(kernel, smem_inputs, Ap, Bp, Hp, R, TN, N, scratch_shapes,
+            interpret):
+    """Shared pallas_call launch: SMEM scalar/staging inputs first, then
+    the (R, R) Gram replicated per cell and the column-tiled B/H0;
+    output is the column-tiled (R, N) iterate."""
+    f32 = jnp.float32
+    smem_specs = [
+        pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+        for arr in smem_inputs
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, N), f32),
+        grid=(N // TN,),
+        in_specs=smem_specs + [
+            pl.BlockSpec((R, R), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(*smem_inputs, Ap, Bp, Hp)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sub_iter", "block_n", "block_rows", "interpret"))
@@ -150,56 +204,26 @@ def coder_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
       A: (r, r) = W^T W.   B: (r, n) = W^T X.   H0: (r, n) start iterate.
     Returns (r, n) code after exactly ``sub_iter`` Gauss-Seidel sweeps.
     """
-    r, n = B.shape
-    R = _round_up(r, 8)
-    # extreme ranks: the (R, R) Gram alone would blow VMEM — fall back to
-    # the XLA sweeps (identical math)
-    if R * R * 4 > 6 * 1024 * 1024:
+    plan = _tile_plan(A, B, H0, n_bufs=4, block_n=block_n)
+    if plan is None:
+        # extreme ranks: the (R, R) Gram alone would blow VMEM — fall
+        # back to the XLA sweeps (identical math)
         from onmf_ontf_ndl_tpu.ops.coder import _code_impl
-        import jax.numpy as _jnp
 
-        return _code_impl(A, B, H0, _jnp.asarray(alpha, B.dtype),
-                          _jnp.asarray(0.0, B.dtype),
-                          _jnp.asarray(0.0, B.dtype), int(sub_iter),
-                          False, False)
-    # clamp the tile so the 4 (R, TN) f32 buffers stay within a ~8 MB
-    # VMEM budget at large ranks
-    vmem_budget = 8 * 1024 * 1024
-    max_tn = max(512, (vmem_budget // (4 * 4 * R)) // 128 * 128)
-    TN = _pick_tile(n, block_n, max_tn)
-    N = _round_up(n, TN)
+        z = jnp.asarray(0.0, B.dtype)
+        return _code_impl(A, B, H0, jnp.asarray(alpha, B.dtype), z, z,
+                          int(sub_iter), False, False)
+    r, n, R, TN, N, Ap, Bp, Hp = plan
     f32 = jnp.float32
-    Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
-    Bp = jnp.zeros((R, N), f32).at[:r, :n].set(B.astype(f32))
-    Hp = jnp.zeros((R, N), f32).at[:r, :n].set(H0.astype(f32))
     alpha_arr = jnp.full((1, 1), alpha, f32)
     inv_diag = jnp.zeros((1, R), f32).at[0, :r].set(jnp.diag(A).astype(f32))
     bk = max(1, min(int(block_rows), r))
     acorr = _block_corr(Ap, bk)
 
-    out = pl.pallas_call(
+    out = _launch(
         functools.partial(_coder_kernel, r=r, sub_iter=sub_iter, bk=bk,
                           nonneg_norm=False),
-        out_shape=jax.ShapeDtypeStruct((R, N), f32),
-        grid=(N // TN,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, R), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((R, bk), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((R, R), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, TN), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, TN), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, TN), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(alpha_arr, inv_diag, acorr, Ap, Bp, Hp)
+        [alpha_arr, inv_diag, acorr], Ap, Bp, Hp, R, TN, N, [], interpret)
     return out[:r, :n].astype(B.dtype)
 
 
@@ -321,60 +345,32 @@ def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
 
     Args/returns as :func:`coder_sweeps`, plus ``stopping_diff``.
     """
-    r, n = B.shape
-    R = _round_up(r, 8)
-    if R * R * 4 > 6 * 1024 * 1024:
+    # 5 (R, TN) f32 buffers: B, H0, H (out), Hold scratch + margin
+    plan = _tile_plan(A, B, H0, n_bufs=5, block_n=block_n)
+    if plan is None:
         from onmf_ontf_ndl_tpu.ops.coder import _code_impl
 
         return _code_impl(A, B, H0, jnp.asarray(alpha, B.dtype),
                           jnp.asarray(stopping_diff, B.dtype),
                           jnp.asarray(0.0, B.dtype), int(sub_iter),
                           True, False)
-    # 4 (R, TN) f32 tiles (B, H0, H, Hold scratch) within ~8 MB VMEM
-    vmem_budget = 8 * 1024 * 1024
-    max_tn = max(512, (vmem_budget // (4 * 5 * R)) // 128 * 128)
-    TN = _pick_tile(n, block_n, max_tn)
-    N = _round_up(n, TN)
+    r, n, R, TN, N, Ap, Bp, Hp = plan
     f32 = jnp.float32
-    Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
-    Bp = jnp.zeros((R, N), f32).at[:r, :n].set(B.astype(f32))
-    Hp = jnp.zeros((R, N), f32).at[:r, :n].set(H0.astype(f32))
     stop_arr = jnp.full((1, 1), stopping_diff, f32)
     alpha_arr = jnp.full((1, 1), alpha, f32)
     diag = jnp.zeros((1, R), f32).at[0, :r].set(jnp.diag(A).astype(f32))
     bk = max(1, min(int(block_rows), r))
     acorr = _block_corr(Ap, bk)
 
-    out = pl.pallas_call(
+    out = _launch(
         functools.partial(_coder_es_kernel, r=r, sub_iter=sub_iter, bk=bk,
                           pi_iters=pi_iters),
-        out_shape=jax.ShapeDtypeStruct((R, N), f32),
-        grid=(N // TN,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, R), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((R, bk), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((R, R), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, TN), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, TN), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, TN), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
+        [stop_arr, alpha_arr, diag, acorr], Ap, Bp, Hp, R, TN, N,
+        [
             pltpu.VMEM((R, TN), f32),
             pltpu.VMEM((R, 128), f32),
             pltpu.SMEM((1,), jnp.int32),
-        ],
-        interpret=interpret,
-    )(stop_arr, alpha_arr, diag, acorr, Ap, Bp, Hp)
+        ], interpret)
     return out[:r, :n].astype(B.dtype)
 
 
@@ -462,22 +458,16 @@ def fista_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
     Args/returns as :func:`coder_sweeps`; ``use_stopping=False`` runs
     exactly ``sub_iter`` accelerated projected-gradient iterations.
     """
-    r, n = B.shape
-    R = _round_up(r, 8)
-    if R * R * 4 > 6 * 1024 * 1024:
+    # 5 (R, TN) f32 buffers: B, H0, H (out), Y scratch + margin
+    plan = _tile_plan(A, B, H0, n_bufs=5, block_n=block_n)
+    if plan is None:
         from onmf_ontf_ndl_tpu.ops.coder import _fista_impl
 
         sd = jnp.asarray(stopping_diff if use_stopping else 0.0, B.dtype)
         return _fista_impl(A, B, H0, jnp.asarray(alpha, B.dtype), sd,
                            int(sub_iter), use_stopping)
-    vmem_budget = 8 * 1024 * 1024
-    max_tn = max(512, (vmem_budget // (4 * 5 * R)) // 128 * 128)
-    TN = _pick_tile(n, block_n, max_tn)
-    N = _round_up(n, TN)
+    r, n, R, TN, N, Ap, Bp, Hp = plan
     f32 = jnp.float32
-    Ap = jnp.zeros((R, R), f32).at[:r, :r].set(A.astype(f32))
-    Bp = jnp.zeros((R, N), f32).at[:r, :n].set(B.astype(f32))
-    Hp = jnp.zeros((R, N), f32).at[:r, :n].set(H0.astype(f32))
     stop_arr = jnp.full((1, 1), stopping_diff if use_stopping else 0.0, f32)
     alpha_arr = jnp.full((1, 1), alpha, f32)
     # Lipschitz estimate (floors at 16 power iterations; the Rayleigh
@@ -486,35 +476,16 @@ def fista_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
     L = _lambda_max(Ap, max(16, pi_iters)) * 1.02 + 1e-12
     invL_arr = (1.0 / L).reshape(1, 1).astype(f32)
 
-    out = pl.pallas_call(
+    out = _launch(
         functools.partial(_fista_kernel, sub_iter=sub_iter,
                           use_stopping=use_stopping, pi_iters=pi_iters),
-        out_shape=jax.ShapeDtypeStruct((R, N), f32),
-        grid=(N // TN,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((R, R), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, TN), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, TN), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, TN), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
+        [stop_arr, alpha_arr, invL_arr], Ap, Bp, Hp, R, TN, N,
+        [
             pltpu.VMEM((R, TN), f32),
             pltpu.VMEM((R, 128), f32),
             pltpu.SMEM((1,), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
-        ],
-        interpret=interpret,
-    )(stop_arr, alpha_arr, invL_arr, Ap, Bp, Hp)
+        ], interpret)
     return out[:r, :n].astype(B.dtype)
 
 
