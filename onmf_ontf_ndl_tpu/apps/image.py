@@ -290,10 +290,10 @@ class ImageReconstructor:
             import os as _os
 
             from onmf_ontf_ndl_tpu.utils.checkpoint import (
-                load_state, save_state)
+                checkpoint_exists, load_state, save_state)
 
             done = 0
-            if resume and _os.path.exists(checkpoint_path):
+            if resume and checkpoint_exists(checkpoint_path):
                 self.state = load_state(checkpoint_path, dtype=self.dtype)
                 done = int(round(float(self.state.t))) // t_per_unit
             while done < total:

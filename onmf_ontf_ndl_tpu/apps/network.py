@@ -436,7 +436,7 @@ class NetworkReconstructor:
             import os as _os
 
             from onmf_ontf_ndl_tpu.utils.checkpoint import (
-                load_state, save_state)
+                checkpoint_exists, load_state, save_state)
 
             # the resume count is derived from the schedule counter,
             # which only advances when the inner loop runs > 1
@@ -454,7 +454,7 @@ class NetworkReconstructor:
                     "(t = 0); for a warm-started state the t-derived "
                     "resume count would be wrong")
             done = 0
-            if resume and _os.path.exists(checkpoint_path):
+            if resume and checkpoint_exists(checkpoint_path):
                 self.state, extra = load_state(
                     checkpoint_path, dtype=self.dtype, with_extra=True)
                 self.emb = jnp.asarray(extra["emb"], jnp.int32)

@@ -28,6 +28,18 @@ import numpy as np
 _UNSET = object()  # distinguishes "flag not given" from an explicit value
 
 
+def _parse_bool(v: str) -> bool:
+    """Strict bool flag parser: a typo must error, not silently read as
+    False."""
+    low = v.lower()
+    if low in ("1", "true", "yes"):
+        return True
+    if low in ("0", "false", "no"):
+        return False
+    raise argparse.ArgumentTypeError(
+        f"expected one of 1/0/true/false/yes/no, got {v!r}")
+
+
 def _add_fields(p: argparse.ArgumentParser, cfg_cls, skip=()):
     for f in dataclasses.fields(cfg_cls):
         if f.name in skip:
@@ -41,8 +53,7 @@ def _add_fields(p: argparse.ArgumentParser, cfg_cls, skip=()):
         if required:
             kw["required"] = True
         if f.type in ("bool", bool):
-            p.add_argument(flag, type=lambda s: s.lower() in ("1", "true", "yes"),
-                           **kw)
+            p.add_argument(flag, type=_parse_bool, **kw)
         elif f.type in ("int", int):
             p.add_argument(flag, type=int, **kw)
         elif f.type in ("float", float):
@@ -115,6 +126,13 @@ def main(argv=None):
         multihost.initialize(
             coordinator_address=args.coordinator_address,
             num_processes=args.num_processes, process_id=args.process_id)
+        # the CLI subcommands are single-host pipelines (the flag
+        # initializes the jax.distributed runtime for the parallel APIs);
+        # every process runs the workload, so give non-zero processes
+        # their own artifact directory instead of racing on shared files
+        if multihost.process_index() != 0:
+            args.out_dir = os.path.join(
+                args.out_dir, f"proc{multihost.process_index()}")
     os.makedirs(args.out_dir, exist_ok=True)
     cfg = _build_cfg(specs[args.cmd], args)
     app = cfg.build()

@@ -112,7 +112,7 @@ def graph_from_adjacency(A, *, normalize: bool = False) -> Graph:
     own value — weighted patches are orientation-dependent exactly as in
     the reference, which indexes the raw matrix.
     """
-    A = np.asarray(A, np.float64)
+    A = np.array(A, np.float64)          # copy: never mutate the caller
     if normalize and A.max() > 0:
         A = A / A.max()
     np.fill_diagonal(A, 0.0)
@@ -183,7 +183,16 @@ def _intern_edges(edges):
     """First-appearance node interning (the shared load-bearing ordering
     invariant for both graph representations); returns deduped,
     self-loop-free (E, 2) index pairs plus node_ids."""
-    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    edges = np.asarray(edges, dtype=np.int64)
+    if edges.ndim == 1:
+        if edges.size % 2:
+            raise ValueError("flat edge array must have even length")
+        edges = edges.reshape(-1, 2)
+    if edges.ndim != 2 or (edges.size and edges.shape[1] != 2):
+        raise ValueError(
+            f"edge list must be (E, 2) node pairs, got shape "
+            f"{edges.shape} (weighted multi-column edge files are not "
+            f"supported — pass the first two columns)")
     order: dict[int, int] = {}
     for a, b in edges:
         if int(a) not in order:

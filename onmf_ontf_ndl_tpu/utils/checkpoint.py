@@ -17,13 +17,28 @@ import jax.numpy as jnp
 
 from onmf_ontf_ndl_tpu.models.state import OnmfState
 
-__all__ = ["save_state", "load_state"]
+__all__ = ["save_state", "load_state", "checkpoint_exists"]
+
+
+def _norm_path(path: str) -> str:
+    """np.savez appends '.npz' to suffix-less paths; normalize up front
+    so save/load/exists all agree on the on-disk name."""
+    return path if str(path).endswith(".npz") else str(path) + ".npz"
+
+
+def checkpoint_exists(path: str) -> bool:
+    """Whether a checkpoint written by :func:`save_state` exists."""
+    import os
+
+    return os.path.exists(_norm_path(path))
 
 
 def save_state(path: str, state: OnmfState, extra: dict | None = None) -> None:
     """Serialize an OnmfState (plus optional named auxiliary arrays —
     e.g. an app's MCMC chain embedding or accumulated code matrix) to a
-    ``.npz`` file."""
+    ``.npz`` file (the suffix is appended when missing — np.savez does
+    so anyway; normalizing keeps load/exists consistent)."""
+    path = _norm_path(path)
     arrays = dict(
         W=np.asarray(state.W),
         A=np.asarray(state.A),
@@ -43,8 +58,10 @@ def load_state(path: str, dtype=None, with_extra: bool = False):
     """Restore an OnmfState saved by :func:`save_state`.
 
     ``with_extra=True`` additionally returns the dict of auxiliary
-    arrays saved alongside (empty for checkpoints without them)."""
-    with np.load(path) as z:
+    arrays saved alongside (empty for checkpoints without them; their
+    saved dtypes are preserved — ``dtype`` only recasts the optimizer
+    arrays)."""
+    with np.load(_norm_path(path)) as z:
         W = z["W"]
         cast = (lambda a: jnp.asarray(a, dtype)) if dtype else jnp.asarray
         impl = str(np.asarray(z["key_impl"]).item())
@@ -57,7 +74,9 @@ def load_state(path: str, dtype=None, with_extra: bool = False):
             t=cast(z["t"]), key=key,
         )
         if with_extra:
-            extra = {name[len("extra_"):]: cast(z[name])
+            # extras keep their SAVED dtypes (int embeddings, bool
+            # masks, ...) — the float recast is for optimizer arrays only
+            extra = {name[len("extra_"):]: jnp.asarray(z[name])
                      for name in z.files if name.startswith("extra_")}
             return state, extra
         return state

@@ -230,3 +230,45 @@ def test_cli_network_bitset_sparse_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "recons_edges.txt")
     assert np.genfromtxt(tmp_path / "recons_edges.txt",
                          delimiter=",").shape[1] == 2
+
+
+def test_checkpoint_path_suffix_and_extra_dtypes(tmp_path):
+    """save/load/exists agree on suffix-less paths, and extras keep
+    their saved dtypes (ints are not float-cast)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from onmf_ontf_ndl_tpu.models.state import init_state
+    from onmf_ontf_ndl_tpu.utils.checkpoint import (
+        checkpoint_exists, load_state, save_state)
+
+    st = init_state(jax.random.key(0), 6, 3)
+    p = str(tmp_path / "ck")            # no .npz suffix
+    save_state(p, st, extra={"emb": np.arange(5, dtype=np.int32),
+                             "mask": np.array([True, False])})
+    assert checkpoint_exists(p)
+    st2, extra = load_state(p, dtype=jnp.float32, with_extra=True)
+    np.testing.assert_array_equal(np.asarray(st2.W), np.asarray(st.W))
+    assert extra["emb"].dtype == jnp.int32
+    assert extra["mask"].dtype == jnp.bool_
+
+
+def test_edge_list_shape_validation():
+    import numpy as np
+    import pytest
+
+    from onmf_ontf_ndl_tpu.data.graphs import graph_from_edgelist
+
+    with pytest.raises(ValueError, match="node pairs"):
+        graph_from_edgelist(np.array([[1, 2, 5], [2, 3, 7]]))
+
+
+def test_graph_from_adjacency_does_not_mutate_input():
+    import numpy as np
+
+    from onmf_ontf_ndl_tpu.data.graphs import graph_from_adjacency
+
+    A = np.array([[2.0, 1.0], [1.0, 3.0]])
+    graph_from_adjacency(A)
+    np.testing.assert_array_equal(A, [[2.0, 1.0], [1.0, 3.0]])
