@@ -38,9 +38,13 @@ from onmf_ontf_ndl_tpu.ops.unfold import unfold
 __all__ = ["ImageReconstructorTensor", "unfolded_dim"]
 
 
-def unfolded_dim(k: int, num_patches: int, mode: int, joint: bool) -> int:
-    """Feature dimension of the mode-unfolded (k^2, 3, n) patch tensor."""
-    shape = (k * k, 3, num_patches)
+def unfolded_dim(k: int, num_patches: int, mode: int, joint: bool,
+                 channels: int = 3) -> int:
+    """Feature dimension of the mode-unfolded patch tensor:
+    (k^2, 3, n) for color, (k^2, n, 1) for grayscale (the reference's
+    layouts, ``image_reconstruction_tensor.py:101-124``)."""
+    shape = ((k * k, channels, num_patches) if channels == 3
+             else (k * k, num_patches, 1))
     if joint:
         rest = 1
         for i, s in enumerate(shape):
@@ -76,8 +80,13 @@ def _train_tensor(
         key, pkey = jax.random.split(st.key)
         st = dataclasses.replace(st, key=key)
         corners = random_patch_corners(pkey, img.shape[:2], k, num_patches)
-        X = extract_patches(img, corners, k)                  # (3k^2, n)
-        T = jnp.moveaxis(X.T.reshape(num_patches, k * k, 3), 0, 2)
+        X = extract_patches(img, corners, k)
+        if img.ndim == 3:                                     # (3k^2, n)
+            T = jnp.moveaxis(X.T.reshape(num_patches, k * k, 3), 0, 2)
+        else:                                                 # (k^2, n)
+            # grayscale patch tensor (k^2, n, 1) — the reference's b/w
+            # layout (samples on axis 1, a singleton channel axis)
+            T = X[:, :, None]
         Xu = unfold(T, mode)
         if joint:
             Xu = Xu.T
@@ -133,7 +142,11 @@ class ImageReconstructorTensor:
         self.sub_iterations = sub_iterations
         self.block_iterations = block_iterations
         self.num_patches = num_patches
+        # sub_num_patches mirrors the reference ctor knob; its
+        # second_factor H-optimization path is dead code in the
+        # reference's own drivers and is not ported (PARITY.md)
         self.sub_num_patches = sub_num_patches
+        self.downscale_factor = downscale_factor
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.learn_joint_dict = learn_joint_dict
@@ -161,7 +174,9 @@ class ImageReconstructorTensor:
         (``image_reconstruction_tensor.py:220-262``)."""
         joint = (self.learn_joint_dict if learn_joint_dict is None
                  else learn_joint_dict)
-        d = unfolded_dim(self.patch_size, self.num_patches, mode, joint)
+        channels = 3 if self.data.ndim == 3 else 1
+        d = unfolded_dim(self.patch_size, self.num_patches, mode, joint,
+                         channels)
         self.state = init_state(jax.random.key(self.seed), d,
                                 self.n_components, dtype=self.dtype)
         self.state = _train_tensor(
@@ -189,6 +204,11 @@ class ImageReconstructorTensor:
         ``:309-310``)."""
         from onmf_ontf_ndl_tpu.apps.image import reconstruct
 
+        k = self.patch_size
+        if self.W is None or self.W.shape[0] != 3 * k * k:
+            raise ValueError(
+                "color reconstruction needs a trained joint (3k^2, r) "
+                "dictionary (train with mode=2, learn_joint_dict=True)")
         if data is None:
             data = load_image(path or self.path, is_color=True,
                               dtype=self.dtype)
@@ -199,7 +219,7 @@ class ImageReconstructorTensor:
         )
 
     def reconstruct_image(self, path: str | None = None, data=None,
-                          downscale_factor: int = 2,
+                          downscale_factor: int | None = None,
                           patch_size: int | None = None):
         """Grayscale full-grid reconstruction from a spatial (k^2, r)
         dictionary — the tensor app's ``reconstruct_image``
@@ -210,6 +230,8 @@ class ImageReconstructorTensor:
         from onmf_ontf_ndl_tpu.apps.image import reconstruct
         from onmf_ontf_ndl_tpu.data.images import downscale_local_mean
 
+        if downscale_factor is None:
+            downscale_factor = self.downscale_factor
         k = patch_size or self.patch_size
         if self.W is None or self.W.shape[0] != k * k:
             raise ValueError(

@@ -97,7 +97,7 @@ def ising_trajectory_learning(
     sd_t = jnp.asarray(stopping_diff, state.W.dtype)
 
     def train_round(st, lat, rkey):
-        corners = random_patch_corners(rkey, (n, n), k, num_patches)
+        corners = random_patch_corners(rkey, lat.shape, k, num_patches)
         X = extract_patches(lat.astype(st.W.dtype), corners, k)
         st, _, _ = _train_scan(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
@@ -215,7 +215,9 @@ class IsingReconstructor:
         ``(trajectory, dict_stack, errors)`` like the reference
         (``ising_reconstruction.py:179``)."""
         if initial_lattice is not None:
-            self.lattice = jnp.asarray(initial_lattice)
+            # the reference warm-starts from saved float trajectories
+            # (ising_reconstruction.py:102); the samplers carry int8
+            self.lattice = jnp.asarray(initial_lattice, jnp.int8)
         self.key, lkey = jax.random.split(self.key)
         (self.state, self.dict_stack, self.errors, self.lattice, traj
          ) = ising_trajectory_learning(

@@ -100,6 +100,7 @@ class VideoDictionaryLearner:
         max_frames: int | None = None,
         fast: bool = False,
         coder: str = "bcd",
+        subsample: bool = False,
         seed: int = 0,
         dtype=jnp.float32,
     ):
@@ -119,6 +120,9 @@ class VideoDictionaryLearner:
         self.beta = 1.0 if beta is None else float(beta)
         self.fast = fast
         self.coder = coder
+        # batch_size only takes effect with subsample=True (otherwise
+        # every inner step trains on the full num_patches columns)
+        self.subsample = subsample
         self.dtype = dtype
         d = (3 if self.is_color else 1) * patch_size**2
         self.state = init_state(jax.random.key(seed), d, n_components,
@@ -138,7 +142,7 @@ class VideoDictionaryLearner:
             epochs=epochs, alpha=self.alpha, beta=self.beta,
             use_stopping=not self.fast,
             backend=_resolve_backend("auto", not self.fast),
-            coder=self.coder,
+            coder=self.coder, subsample=self.subsample,
         )
         return self.state.W
 

@@ -190,6 +190,11 @@ def overlap_average_grid(patch_values: jax.Array, k: int, stride: int,
         raise ValueError(
             f"expected {ni * nj} patches for this grid, got "
             f"{patch_values.shape[1]}")
+    if ni == 0 or nj == 0:
+        # empty exclusive grid (image dim == k with stride > 1): the
+        # reference's empty range loop paints nothing — zero canvas
+        out = jnp.zeros((H, W, C), patch_values.dtype)
+        return out if len(out_shape) == 3 else out[:, :, 0]
     vals = patch_values.T.reshape(ni, nj, k, k, C)
 
     acc = jnp.zeros((H, W, C), patch_values.dtype)

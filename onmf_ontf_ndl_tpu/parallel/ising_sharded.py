@@ -17,6 +17,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from onmf_ontf_ndl_tpu.samplers.ising import delta_e
+
 __all__ = ["sharded_checkerboard_sweeps"]
 
 
@@ -71,7 +73,7 @@ def sharded_checkerboard_sweeps(
         def half(lat, color, k):
             s = lat.astype(jnp.float32)
             sn = _halo_neighbor_sum(s, axis)
-            dE = 2.0 * s * (Hf + Jf * sn)
+            dE = delta_e(s, sn, Jf, Hf)
             u = jax.random.uniform(k, lat.shape)
             accept = jnp.logical_and(parity == color,
                                      u < jax.nn.sigmoid(-dE / Tf))

@@ -134,3 +134,17 @@ def test_overlap_average_grid_matches_corner_form():
             got = np.asarray(overlap_average_grid(vals, k, stride, shape,
                                                   inclusive=inclusive))
             np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_overlap_average_grid_empty_exclusive_grid():
+    """Image dim == k with stride > 1: the exclusive grid is empty along
+    that axis; the fold must return a zero canvas (reference's empty
+    loop), not crash."""
+    from onmf_ontf_ndl_tpu.ops.patches import (extract_patches_grid,
+                                               overlap_average_grid)
+
+    img = jnp.ones((4, 9))
+    vals = extract_patches_grid(img, 4, 2)
+    out = overlap_average_grid(vals, 4, 2, img.shape)
+    assert out.shape == (4, 9)
+    assert float(jnp.abs(out).sum()) == 0.0

@@ -77,3 +77,46 @@ def test_video_gif_loader():
     assert frames.ndim == 4 and frames.shape[0] == 3 and frames.shape[3] == 3
     f = np.asarray(frames)
     assert f.min() >= 0.0 and f.max() <= 1.0
+
+
+def test_tensor_app_grayscale_training():
+    """The reference's b/w patch-tensor layout (k^2, n, 1): training a
+    marginal mode-0 dictionary on a 2-D input must work (was a crash)."""
+    from onmf_ontf_ndl_tpu.apps.image_tensor import ImageReconstructorTensor
+
+    rng = np.random.default_rng(0)
+    img = rng.random((30, 40)).astype(np.float32)
+    rec = ImageReconstructorTensor(
+        data=img, n_components=5, iterations=3, sub_iterations=3,
+        block_iterations=2, num_patches=20, batch_size=10, patch_size=4,
+        is_color=False)
+    W = np.asarray(rec.train_dict(mode=0, learn_joint_dict=False))
+    assert W.shape == (16, 5) and (W >= 0).all()
+    out = rec.reconstruct_image(data=img, downscale_factor=1, patch_size=4)
+    assert np.asarray(out).shape == (30, 40)
+
+
+def test_tensor_app_downscale_factor_stored():
+    from onmf_ontf_ndl_tpu.apps.image_tensor import ImageReconstructorTensor
+
+    rng = np.random.default_rng(1)
+    img = rng.random((24, 24)).astype(np.float32)
+    rec = ImageReconstructorTensor(
+        data=img, n_components=4, iterations=2, sub_iterations=2,
+        num_patches=10, batch_size=5, patch_size=3, is_color=False,
+        downscale_factor=2)
+    rec.train_dict(mode=0, learn_joint_dict=False)
+    out = rec.reconstruct_image(data=img)      # uses ctor downscale (2)
+    assert np.asarray(out).shape == (12, 12)
+
+
+def test_tensor_color_recon_requires_joint_dict():
+    import pytest
+    from onmf_ontf_ndl_tpu.apps.image_tensor import ImageReconstructorTensor
+
+    rec = ImageReconstructorTensor(
+        data=np.random.default_rng(2).random((16, 16, 3)).astype(np.float32),
+        n_components=4, iterations=1, sub_iterations=2, num_patches=8,
+        batch_size=4, patch_size=3)
+    with pytest.raises(ValueError, match="joint"):
+        rec.reconstruct_image_color(data=np.zeros((16, 16, 3)))
