@@ -28,37 +28,32 @@ struct GraphHandle {
   std::string error;
 };
 
-// Parse one integer token; returns false at end of input. Skips '#'
-// comment lines (SNAP-style headers); flags non-integer tokens (e.g.
-// float weights) via bad_token so callers can fall back to the Python
-// parser instead of silently corrupting the graph.
-inline bool next_int(const char*& p, const char* end, int64_t& out,
-                     bool& bad_token) {
-  for (;;) {
-    while (p < end && (*p == ',' || *p == ' ' || *p == '\t' || *p == '\n' ||
-                       *p == '\r'))
-      ++p;
-    if (p < end && *p == '#') {               // comment: skip to newline
-      while (p < end && *p != '\n') ++p;
-      continue;
-    }
-    break;
-  }
-  if (p >= end) return false;
+// Parse one integer token within a line; separators are ',', ' ',
+// '\t', '\r'. Sets bad on a malformed token (e.g. float weight or
+// alphabetic label) so callers can fall back to the Python parser
+// instead of silently corrupting the graph.
+inline bool line_int(const char*& p, const char* line_end, int64_t& out,
+                     bool& bad) {
+  while (p < line_end &&
+         (*p == ',' || *p == ' ' || *p == '\t' || *p == '\r'))
+    ++p;
+  if (p >= line_end) return false;
   bool neg = false;
   if (*p == '-') { neg = true; ++p; }
   int64_t v = 0;
   bool any = false;
-  while (p < end && *p >= '0' && *p <= '9') {
+  while (p < line_end && *p >= '0' && *p <= '9') {
     v = v * 10 + (*p - '0');
     ++p;
     any = true;
   }
-  if (p < end && (*p == '.' || *p == 'e' || *p == 'E')) {
-    bad_token = true;                          // float-like token
+  if (!any) { bad = true; return false; }
+  // the token must end at a separator or the line end
+  if (p < line_end &&
+      !(*p == ',' || *p == ' ' || *p == '\t' || *p == '\r')) {
+    bad = true;
     return false;
   }
-  if (!any) { ++p; return next_int(p, end, out, bad_token); }
   out = neg ? -v : v;
   return true;
 }
@@ -78,6 +73,11 @@ void* gl_load(const char* path) {
   }
   std::fseek(f, 0, SEEK_END);
   long size = std::ftell(f);
+  if (size < 0) {                 // unseekable input (pipe/fifo)
+    h->error = std::string("cannot size ") + path;
+    std::fclose(f);
+    return h;
+  }
   std::fseek(f, 0, SEEK_SET);
   std::string buf(static_cast<size_t>(size), '\0');
   if (size > 0 && std::fread(buf.data(), 1, size, f) != (size_t)size) {
@@ -94,14 +94,36 @@ void* gl_load(const char* path) {
   int64_t a, b;
   bool bad = false;
   std::vector<std::pair<int32_t, int32_t>> raw;
-  while (next_int(p, end, a, bad)) {
-    if (!next_int(p, end, b, bad)) break;
-    auto ia = intern.emplace((int64_t)a, (int32_t)h->node_ids.size());
-    if (ia.second) h->node_ids.push_back(a);
-    auto ib = intern.emplace((int64_t)b, (int32_t)h->node_ids.size());
-    if (ib.second) h->node_ids.push_back(b);
-    int32_t u = ia.first->second, v = ib.first->second;
-    if (u != v) raw.emplace_back(u, v);
+  // line-structured parse: every non-blank, non-comment line must hold
+  // EXACTLY two integer tokens — weighted/multi-column or labeled edge
+  // lists error out instead of silently pairing tokens across columns
+  while (p < end && !bad) {
+    const char* le = p;
+    while (le < end && *le != '\n') ++le;
+    const char* q = p;
+    while (q < le && (*q == ',' || *q == ' ' || *q == '\t' || *q == '\r'))
+      ++q;
+    if (q < le && *q != '#') {
+      if (!line_int(q, le, a, bad) || !line_int(q, le, b, bad)) {
+        bad = true;
+      } else {
+        const char* r = q;
+        while (r < le &&
+               (*r == ',' || *r == ' ' || *r == '\t' || *r == '\r'))
+          ++r;
+        if (r < le) {
+          bad = true;              // extra (third) column
+        } else {
+          auto ia = intern.emplace((int64_t)a, (int32_t)h->node_ids.size());
+          if (ia.second) h->node_ids.push_back(a);
+          auto ib = intern.emplace((int64_t)b, (int32_t)h->node_ids.size());
+          if (ib.second) h->node_ids.push_back(b);
+          int32_t u = ia.first->second, v = ib.first->second;
+          if (u != v) raw.emplace_back(u, v);
+        }
+      }
+    }
+    p = (le < end) ? le + 1 : end;
   }
   // dedupe undirected edges via a hash set of packed pairs
   std::unordered_map<uint64_t, bool> seen;
@@ -117,7 +139,8 @@ void* gl_load(const char* path) {
   }
   for (int32_t d : h->deg) if (d > h->max_deg) h->max_deg = d;
   if (bad) {
-    h->error = "non-integer token (use the Python parser for weighted files)";
+    h->error = "edge lines must be exactly two integer tokens "
+               "(weighted/multi-column or labeled files are unsupported)";
   }
   return h;
 }

@@ -147,7 +147,37 @@ def load_edgelist(path: str, delimiter: str = ",",
         except Exception:
             if use_native == "always":
                 raise
-    edges = np.genfromtxt(path, delimiter=delimiter, dtype=np.int64)
+    def _try(delim):
+        """Parse as float (NaN marks unparseable tokens), demand an
+        integral (E, 2) table; None on any failure."""
+        try:
+            e = np.genfromtxt(path, delimiter=delim, dtype=np.float64,
+                              comments="#")
+        except Exception:
+            return None
+        if e.ndim == 1:
+            if e.size % 2:
+                return None
+            e = e.reshape(-1, 2)
+        if e.ndim != 2 or (e.size and e.shape[1] != 2):
+            return None
+        if e.size and (np.isnan(e).any() or (e != np.round(e)).any()):
+            return None
+        return e.astype(np.int64)
+
+    def _ok(e):
+        return e is not None
+
+    # the native parser accepts comma/space/tab; keep the Python
+    # fallback equally permissive so "auto" behaves the same with or
+    # without a C++ toolchain (SNAP-style space-delimited files)
+    edges = _try(delimiter)
+    if not _ok(edges):
+        ws = _try(None)            # whitespace-delimited
+        if _ok(ws):
+            edges = ws
+    if edges is None:
+        raise ValueError(f"could not parse edge list {path!r}")
     return graph_from_edgelist(edges)
 
 

@@ -63,6 +63,7 @@ class OnlineNTF:
         beta: float | None = None,
         subsample: bool = True,
         coder: str = "bcd",
+        coder_sub_iter: int | None = None,
         key: jax.Array | None = None,
         seed: int = 0,
         dtype=jnp.float32,
@@ -82,6 +83,15 @@ class OnlineNTF:
         self.beta = 1.0 if beta is None else float(beta)
         self.subsample = subsample
         self.coder = coder
+        # the reference's sklearn coder solves each lasso EXACTLY, and
+        # the driver knob threaded into this slot (block_iterations, as
+        # low as 2-4 in the reference's own configs) is stored-but-
+        # unused there (src/ontf.py:47); floor our iterative coder's
+        # sweep count so those configs don't cripple coding quality
+        # (same policy as ImageReconstructorTensor.coder_sub_iter)
+        self.coder_sub_iter = (int(coder_sub_iter)
+                               if coder_sub_iter is not None
+                               else max(int(sub_iterations), 30))
         self.dtype = dtype
 
         X_unfold = unfold(self.X, mode)
@@ -116,7 +126,7 @@ class OnlineNTF:
         key = jax.random.fold_in(jax.random.key(202), X.shape[1])
         H = nonneg_code(
             X, W, key=key, alpha=self.alpha,
-            sub_iter=self.sub_iterations, stopping_diff=0.01,
+            sub_iter=self.coder_sub_iter, stopping_diff=0.01,
             method=self.coder,
         )
         return H.T
@@ -127,7 +137,7 @@ class OnlineNTF:
             self.state, self.X_unfold,
             iterations=self.iterations, batch_size=self.batch_size,
             subsample=self.subsample, alpha=self.alpha, beta=self.beta,
-            sub_iter=self.sub_iterations, stopping_diff=0.01,
+            sub_iter=self.coder_sub_iter, stopping_diff=0.01,
             track_code=False, coder=self.coder,
         )
         st = self.state

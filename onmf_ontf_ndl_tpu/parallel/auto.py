@@ -29,7 +29,7 @@ def shard_state(mesh: Mesh, state: OnmfState, *,
         put = lambda x: jax.device_put(x, rep)
         return dataclasses.replace(
             state, W=put(state.W), A=put(state.A), B=put(state.B),
-            C=put(state.C), t=put(state.t))
+            C=put(state.C), t=put(state.t), key=put(state.key))
     return dataclasses.replace(
         state,
         W=jax.device_put(state.W, NamedSharding(mesh, P(None, tp_axis))),
@@ -37,6 +37,7 @@ def shard_state(mesh: Mesh, state: OnmfState, *,
         B=jax.device_put(state.B, NamedSharding(mesh, P(tp_axis, None))),
         C=jax.device_put(state.C, rep),
         t=jax.device_put(state.t, rep),
+        key=jax.device_put(state.key, rep),
     )
 
 

@@ -148,6 +148,10 @@ class NetworkConfig:
         from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
 
         if self.is_WAN:
+            if self.use_bitset:
+                raise ValueError(
+                    "use_bitset is for large edge-list graphs; WAN "
+                    "weighted matrices use the dense representation")
             # WAN files are whitespace-delimited weighted matrices
             # (network_reconstruction_nx.py:64-67), not edge lists
             adjacency = np.genfromtxt(self.source)

@@ -29,8 +29,6 @@ def display_dictionary(W, patch_size: int, *, is_color: bool = True,
                        grid_shape=None, show: bool = False):
     """Grid of dictionary atoms as (k, k[,3]) patches."""
     import matplotlib
-    if save_path and not show:
-        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     W = np.asarray(W)
@@ -65,8 +63,6 @@ def display_network_dictionary(W, k: int, *, title: str | None = None,
     """Grid of k x k motif-adjacency atoms, black=1 (gray_r) per the
     reference (``network_reconstruction_nx.py:410-415``)."""
     import matplotlib
-    if save_path and not show:
-        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     W = np.asarray(W)
@@ -92,13 +88,13 @@ def display_recons_panel(W_list, A_recons_list, originals, patch_size: int,
                          *, save_path: str | None = None,
                          title: str | None = None, fig_size=(11, 6),
                          show: bool = False):
+    # (color detected per dictionary: (3k^2, r) atoms render as RGB
+    # patches, (k^2, r) as grayscale)
     """Side-by-side panel: per training stage, the reconstruction (top)
     and the dictionary grid (bottom), with the originals in the first
     column (the reference's ``display_recons_dict_list`` layout,
     ``image_reconstruction.py:409-477``)."""
     import matplotlib
-    if save_path and not show:
-        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     import matplotlib.gridspec as gridspec
 
@@ -120,11 +116,16 @@ def display_recons_panel(W_list, A_recons_list, originals, patch_size: int,
         rows, cols = _grid_dims(W.shape[1])
         inner = outer[1, j + 1].subgridspec(rows, cols, wspace=0.2,
                                             hspace=0.02)
+        is_color = W.shape[0] == 3 * k * k
         for i in range(min(rows * cols, W.shape[1])):
             ax = fig.add_subplot(inner[i // cols, i % cols])
-            patch = W[:, i].reshape(k, k, 3)
-            ax.imshow(patch / max(patch.max(), 1e-12),
-                      interpolation="nearest")
+            if is_color:
+                patch = W[:, i].reshape(k, k, 3)
+                ax.imshow(patch / max(patch.max(), 1e-12),
+                          interpolation="nearest")
+            else:
+                ax.imshow(W[:, i].reshape(k, k), cmap="gray",
+                          interpolation="nearest")
             ax.set_xticks([]); ax.set_yticks([])
     if title:
         plt.suptitle(title, fontsize=20)
@@ -143,8 +144,6 @@ def display_second_dictionary(H, patch_size: int, *,
     ``display_second_dictionary``
     (``image_reconstruction_tensor.py:177-185``)."""
     import matplotlib
-    if save_path and not show:
-        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(nrows=1, ncols=1, figsize=(6, 2),
@@ -178,8 +177,6 @@ def display_errors_comparison(errors_by_label: dict, *,
     divides the error values (the reference divides by the lattice site
     count, 40000)."""
     import matplotlib
-    if save_path and not show:
-        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(nrows=1, ncols=1, figsize=(4, 4))
@@ -212,8 +209,6 @@ def display_dictionary_color_combine(W, H, patch_size: int, *,
     marginal-dictionaries recombination
     (``image_reconstruction_tensor.py:186-204``)."""
     import matplotlib
-    if save_path and not show:
-        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     W = np.asarray(W)

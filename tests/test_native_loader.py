@@ -57,7 +57,7 @@ def test_native_skips_comments_and_rejects_floats(tmp_path):
 
     p2 = tmp_path / "weighted.txt"
     p2.write_text("0,1,0.5\n1,2,0.25\n")
-    with pytest.raises(RuntimeError, match="non-integer"):
+    with pytest.raises(RuntimeError, match="integer tokens"):
         load_edgelist_native(str(p2))
 
 
@@ -77,3 +77,21 @@ def test_native_on_reference_facebook_graph():
     assert adj.shape == (4039, 4039)
     assert int(deg.sum()) // 2 == 88234
     assert dt < 5.0
+
+
+def test_native_rejects_integer_weight_columns(tmp_path):
+    """3-column INTEGER files must error (stream-wise token pairing
+    previously built a silently wrong graph)."""
+    p = tmp_path / "intweights.txt"
+    p.write_text("0,1,5\n1,2,7\n")
+    with pytest.raises(RuntimeError, match="integer tokens"):
+        load_edgelist(str(p), use_native="always")
+
+
+def test_python_fallback_accepts_whitespace_delimited(tmp_path):
+    """'auto' must behave the same with or without the native parser:
+    the Python fallback retries whitespace-delimited files."""
+    p = tmp_path / "snap_space.txt"
+    p.write_text("0 1\n1 2\n")
+    g = load_edgelist(str(p), use_native="never")
+    assert g.num_edges == 2 and g.node_ids == (0, 1, 2)
