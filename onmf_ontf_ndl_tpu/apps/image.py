@@ -176,10 +176,10 @@ class ImageReconstructor:
             if is_stack:
                 # stack of matrices, e.g. an Ising trajectory .npy
                 # (reference stack_to_patches,
-                # image_reconstruction.py:208-229): +-1 -> [0, 1]
-                import numpy as _np
-
-                data = (_np.load(path) + 1.0) / 2.0
+                # image_reconstruction.py:208-229): the +-1 -> [0, 1]
+                # mapping is load_image's is_matrix transform
+                data = load_image(path, is_matrix=True, is_color=False,
+                                  dtype=dtype)
             else:
                 data = load_image(path, is_matrix=is_matrix,
                                   is_color=is_color, dtype=dtype)
@@ -246,6 +246,11 @@ class ImageReconstructor:
         (``image_reconstruction.py:106-115,208-229``)."""
         from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
 
+        if (checkpoint_path or resume) and checkpoint_every <= 0:
+            raise ValueError(
+                "checkpoint_path/resume require checkpoint_every > 0 "
+                "(otherwise the request would be silently ignored and "
+                "training restarted from scratch)")
         if self.is_stack:
             from onmf_ontf_ndl_tpu.apps.video import train_video_dict
 

@@ -413,6 +413,12 @@ class NetworkReconstructor:
         discard is applied exactly once per logical run)."""
         from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
 
+        if (checkpoint_path or resume) and checkpoint_every <= 0:
+            raise ValueError(
+                "checkpoint_path/resume require checkpoint_every > 0 "
+                "(otherwise the request would be silently ignored and "
+                "training restarted from scratch)")
+
         def run(mcmc, discard_first):
             self.state, code_new, self.emb = ndl_train(
                 self.state, self.G, self.emb, self._B_bytes, self._parents,

@@ -156,17 +156,20 @@ def _train_scan(
             hkey = jax.random.fold_in(hkey, me)
         if subsample:
             idx = jax.random.randint(skey, (batch_size,), 0, n)
+            Xb = jnp.take(X, idx, axis=1)
         else:
-            idx = jnp.arange(n)
-        Xb = jnp.take(X, idx, axis=1)
-        H0 = jax.random.uniform(hkey, (r, idx.shape[0]), dtype=X.dtype)
+            # full-batch path: no gather (TPUs execute dense ops far
+            # faster than gathers of the identity index set)
+            idx = None
+            Xb = X
+        H0 = jax.random.uniform(hkey, (r, Xb.shape[1]), dtype=X.dtype)
         st, H = _step_inner(
             st, Xb, t0 + jnp.asarray(i, X.dtype), H0, alpha, beta,
             sub_iter, use_stopping, stopping_diff, dict_from, backend,
             psum_axis, coder=coder,
         )
         if track_code:
-            code = code.at[:, idx].add(H)
+            code = code.at[:, idx].add(H) if subsample else code + H
         if track_metrics:
             # per-step batch objective 0.5|Xb - W H|^2 + alpha|H|_1
             # (post-update W), a structured training signal the reference

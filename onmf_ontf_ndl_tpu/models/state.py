@@ -78,6 +78,17 @@ def init_state(
     (``/root/reference/src/onmf.py:187-197``).
     """
     key, wkey = jax.random.split(key)
+    # validate warm-start shapes HERE: a mismatch (e.g. a lower-rank
+    # ini_dict with a higher n_components) would otherwise surface as an
+    # opaque XLA shape error deep inside the jitted training scan
+    for name, arr, want in (("W", W, (d, r)), ("A", A, (r, r)),
+                            ("B", B, (r, d)),
+                            ("C", C, (d, d) if track_xxt else None)):
+        if arr is not None and want is not None \
+                and tuple(jnp.shape(arr)) != want:
+            raise ValueError(
+                f"init_state: {name} has shape {tuple(jnp.shape(arr))}, "
+                f"expected {want} for d={d}, r={r}")
     if W is None:
         W = jax.random.uniform(wkey, (d, r), dtype=dtype)
     else:

@@ -215,6 +215,10 @@ def nonneg_code_gram(
     alpha = jnp.asarray(alpha, A.dtype)
     use_stopping = stopping_diff is not None
     use_radius = radius is not None
+    if use_radius and backend == "pallas":
+        raise ValueError(
+            "the trust-region (radius) coder has no fused kernel; use "
+            "backend='xla' or 'auto'")
     if method == "fista":
         if use_radius:
             raise ValueError("method='fista' does not support radius")

@@ -80,6 +80,10 @@ def checkerboard_sweeps_pallas(
     Returns the (n, n) int8 lattice after ``nsweeps`` full sweeps.
     """
     n = lattice.shape[0]
+    if lattice.ndim != 2 or lattice.shape[0] != lattice.shape[1]:
+        raise ValueError(
+            f"checkerboard_sweeps_pallas needs a square (n, n) lattice, "
+            f"got {lattice.shape}")
     if n % 2 != 0:
         raise ValueError("even lattice side required")
     lat_f = lattice.astype(jnp.float32)

@@ -16,10 +16,12 @@ __all__ = ["unfold", "fold"]
 
 def unfold(X: jax.Array, mode: int) -> jax.Array:
     """Mode-``mode`` unfolding of a tensor into a matrix."""
+    mode = mode % X.ndim                       # normalize negative modes
     return jnp.moveaxis(X, mode, 0).reshape(X.shape[mode], -1)
 
 
 def fold(M: jax.Array, mode: int, shape: tuple[int, ...]) -> jax.Array:
     """Inverse of :func:`unfold` for a tensor of the given full shape."""
+    mode = mode % len(shape)                   # normalize negative modes
     lead = (shape[mode],) + tuple(s for i, s in enumerate(shape) if i != mode)
     return jnp.moveaxis(M.reshape(lead), 0, mode)
