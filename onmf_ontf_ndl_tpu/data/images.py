@@ -26,9 +26,9 @@ def load_image(path: str, *, is_matrix: bool = False, is_color: bool = True,
     else:
         from PIL import Image
 
-        img = Image.open(path)
-        img = img.convert("RGB" if is_color else "L")
-        data = np.asarray(img) / 255.0
+        with Image.open(path) as img:
+            data = np.asarray(
+                img.convert("RGB" if is_color else "L")) / 255.0
     return jnp.asarray(data, dtype)
 
 

@@ -21,11 +21,13 @@ def load_video_frames(path: str, *, max_frames: int | None = None,
     (RGB), or (F, H, W) when ``is_color=False``."""
     from PIL import Image, ImageSequence
 
-    img = Image.open(path)
+    if max_frames is not None and max_frames <= 0:
+        raise ValueError(f"max_frames must be positive, got {max_frames}")
     frames = []
-    for i, frame in enumerate(ImageSequence.Iterator(img)):
-        if max_frames is not None and i >= max_frames:
-            break
-        f = frame.convert("RGB" if is_color else "L")
-        frames.append(np.asarray(f, dtype=np.float32) / 255.0)
+    with Image.open(path) as img:
+        for i, frame in enumerate(ImageSequence.Iterator(img)):
+            if max_frames is not None and i >= max_frames:
+                break
+            f = frame.convert("RGB" if is_color else "L")
+            frames.append(np.asarray(f, dtype=np.float32) / 255.0)
     return jnp.asarray(np.stack(frames), dtype)

@@ -35,6 +35,13 @@ def random_patch_corners(
     Matches the reference's ``np.random.choice(H - k)`` support
     {0, ..., H-k-1} (``/root/reference/image_reconstruction.py:185-186``).
     """
+    if img_shape[0] <= k or img_shape[1] <= k:
+        # the reference's np.random.choice(H - k) raises for H <= k;
+        # jax.random.randint with maxval <= 0 would silently return 0s
+        # and train on clamped-gather garbage
+        raise ValueError(
+            f"image {tuple(img_shape[:2])} too small for {k}x{k} patches "
+            f"(needs both dims > patch_size)")
     ka, kb = jax.random.split(key)
     a = jax.random.randint(ka, (num,), 0, img_shape[0] - k)
     b = jax.random.randint(kb, (num,), 0, img_shape[1] - k)

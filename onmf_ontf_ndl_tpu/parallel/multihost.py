@@ -37,6 +37,18 @@ __all__ = ["initialize", "shutdown", "global_mesh", "is_initialized",
 _initialized = False
 
 
+def _runtime_initialized() -> bool:
+    """Whether the jax.distributed runtime is live — consults the actual
+    global state, so initialization done OUTSIDE this wrapper (a
+    launcher, another library) is recognized."""
+    try:
+        from jax._src.distributed import global_state
+
+        return global_state.client is not None
+    except Exception:
+        return _initialized
+
+
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None,
@@ -52,7 +64,8 @@ def initialize(coordinator_address: str | None = None,
     runtime's single-initialization requirement).
     """
     global _initialized
-    if _initialized:
+    if _initialized or _runtime_initialized():
+        _initialized = True
         return
     kwargs = {}
     if coordinator_address is not None:
@@ -76,7 +89,7 @@ def shutdown() -> None:
 
 
 def is_initialized() -> bool:
-    return _initialized
+    return _initialized or _runtime_initialized()
 
 
 def process_count() -> int:

@@ -38,6 +38,8 @@ def check_state(state, *, name: str = "state") -> None:
     A = np.asarray(state.A)
     if A.size and (np.diag(A) < -1e-6).any():
         problems.append("A has negative diagonal entries")
+    if A.size and not np.allclose(A, A.T, rtol=1e-5, atol=1e-6):
+        problems.append("A is not symmetric")
     if problems:
         raise FloatingPointError(f"{name}: " + "; ".join(problems))
 

@@ -5,7 +5,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["surrogate_error", "relative_recon_error"]
+__all__ = ["surrogate_error", "relative_recon_error",
+           "code_covariance"]
 
 
 def surrogate_error(W: jax.Array, A: jax.Array, B: jax.Array, C: jax.Array):
@@ -32,4 +33,7 @@ def code_covariance(code: jax.Array):
     c = code - code.mean(axis=1, keepdims=True)
     n = code.shape[1] - 1
     cov = (c @ c.T) / jnp.maximum(n, 1)
-    return cov / jnp.trace(cov)
+    # constant code (e.g. an all-zero fully-sparse solution) has zero
+    # trace; return the zero matrix instead of 0/0 = NaN
+    tr = jnp.trace(cov)
+    return cov / jnp.where(tr > 0, tr, 1.0)

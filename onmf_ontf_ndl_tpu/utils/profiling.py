@@ -48,6 +48,10 @@ class Throughput:
 
     @contextlib.contextmanager
     def measure(self, items: int):
+        # reset first: a raising block must not leave a previous run's
+        # numbers behind for error-handling callers to misreport
+        self.items_per_sec = None
+        self.elapsed = None
         t0 = time.perf_counter()
         yield self
         self.elapsed = time.perf_counter() - t0
@@ -55,5 +59,8 @@ class Throughput:
 
     @staticmethod
     def fence(x):
-        """Force completion: host-fetch a scalar reduction of ``x``."""
-        return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+        """Force completion: host-fetch a scalar reduction of EVERY
+        pytree leaf (leaves can come from separate dispatches; fetching
+        only one would let the others finish after timing stops)."""
+        return float(sum(float(jnp.sum(leaf))
+                         for leaf in jax.tree_util.tree_leaves(x)))
