@@ -197,3 +197,40 @@ def test_dp_ndl_train_virtual_mesh():
     # deterministic
     st2, code2, _ = run()
     np.testing.assert_array_equal(np.asarray(st.W), np.asarray(st2.W))
+
+
+def test_dp_ndl_train_bitset_graph():
+    """DP NDL over the bit-packed graph representation (the scale path)
+    on a virtual mesh."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
+    from onmf_ontf_ndl_tpu.models.state import init_state
+    from onmf_ontf_ndl_tpu.parallel.dp import dp_ndl_train
+    from onmf_ontf_ndl_tpu.parallel.mesh import make_mesh
+    from onmf_ontf_ndl_tpu.samplers.motif import (path_adj, tree_parents,
+                                                  tree_sample)
+
+    edges = [(i, (i + 1) % 30) for i in range(30)] + \
+            [(i, (i + 2) % 30) for i in range(30)]
+    g = bitset_graph_from_edges(edges)
+    B = path_adj(0, 2)
+    parents = tree_parents(B)
+    k = B.shape[0]
+
+    ndev = 4
+    mesh = make_mesh({"dp": ndev}, jax.devices()[:ndev])
+    keys = jax.random.split(jax.random.key(5), ndev)
+    emb0 = jnp.stack([tree_sample(kk, parents, g, jnp.int32(i * 7))
+                      for i, kk in enumerate(keys)])
+    state = init_state(jax.random.key(0), k * k, 4)
+    st, code, emb = dp_ndl_train(
+        mesh, state, g, emb0, np.asarray(B, np.int8).tobytes(), parents,
+        mcmc_iterations=3, sample_size_per_device=16, inner_iterations=4,
+        batch_size=8)
+    W = np.asarray(st.W)
+    assert (W >= 0).all() and np.isfinite(W).all()
+    assert code.shape == (4, 16 * ndev)
+    assert emb.shape == (ndev, k)
