@@ -4,11 +4,16 @@ against the NumPy oracle match at tight tolerance."""
 
 import os
 
+import re as _re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# replace (not just append) any pre-existing device-count flag: a
+# leftover =4 from a dryrun experiment would silently break the
+# 8-virtual-device suite
+flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax
 
