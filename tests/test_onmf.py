@@ -1,6 +1,5 @@
 """Golden tests for the ONMF step and training scan against the NumPy oracle."""
 
-import dataclasses
 
 import numpy as np
 import jax
@@ -132,10 +131,13 @@ def test_online_nmf_class_contract():
 def test_surrogate_error_decreases_in_expectation():
     # The surrogate tr(W A W^T) - 2 tr(W B) + tr(C) should trend down over
     # a training run on i.i.d. data (ising_reconstruction.py:133 metric).
+    # own seeded rng: the trend assertion below must not depend on the
+    # shared module RNG's stream position (test order / subset selection)
+    rng = np.random.default_rng(1234)
     d, r, n = 25, 6, 400
-    Wtrue = np.abs(RNG.standard_normal((d, r)))
-    Htrue = np.abs(RNG.standard_normal((r, n))) * (RNG.random((r, n)) < 0.4)
-    X = Wtrue @ Htrue + 0.01 * RNG.random((d, n))
+    Wtrue = np.abs(rng.standard_normal((d, r)))
+    Htrue = np.abs(rng.standard_normal((r, n))) * (rng.random((r, n)) < 0.4)
+    X = Wtrue @ Htrue + 0.01 * rng.random((d, n))
 
     nmf = OnlineNMF(X, n_components=r, iterations=3, batch_size=50,
                     track_xxt=True, dtype=jnp.float64)
@@ -151,9 +153,10 @@ def test_surrogate_error_decreases_in_expectation():
 
 
 def test_train_dict_metrics():
+    # own seeded rng (trend assertion; see surrogate test note)
     d, r, n = 24, 6, 40
     st, _ = make_state(d=d, r=r, seed=11)
-    X = jnp.asarray(RNG.random((d, n)))
+    X = jnp.asarray(np.random.default_rng(77).random((d, n)))
     st1, code, metrics = train_dict(st, X, iterations=8, batch_size=10,
                                     alpha=0.2, return_metrics=True)
     assert metrics.shape == (7,)
@@ -203,9 +206,7 @@ def test_online_nmf_default_full_batch():
     assert nmf.subsample is False
     W1, A1, B1, _, code = nmf.train_dict()
 
-    batches, H0s = _replay_rng(nmf.state.key, n, r, 1, 5, False)  # key moved
-    # replay from the ORIGINAL state key instead
-    from onmf_ontf_ndl_tpu.models.state import init_state
+    # replay from the ORIGINAL state key (OnlineNMF used seed=0)
     st0 = init_state(jax.random.key(0), d, r, dtype=jnp.float64, W=W,
                      A=np.zeros((r, r)), B=np.zeros((r, d)))
     # OnlineNMF used its own key(seed=0); replicate

@@ -57,8 +57,13 @@ def test_dp_train_dict_runs():
     W = np.asarray(st2.W)
     assert (W >= 0).all()
     assert (np.linalg.norm(W, axis=0) <= 1 + 1e-9).all()
-    # aggregates replicated identically across devices
-    assert np.isfinite(np.asarray(st2.A)).all()
+    # aggregates REPLICATED IDENTICALLY across devices: a dropped psum
+    # would leave per-device copies diverged (shard_map out_specs=P()
+    # with check_vma=False would silently return one of them)
+    shards = [np.asarray(sh.data) for sh in st2.A.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(sh, shards[0])
+    assert np.isfinite(shards[0]).all()
 
 
 def test_halo_neighbor_sum_matches_roll():
@@ -93,7 +98,6 @@ def test_dp_image_trainer():
     from onmf_ontf_ndl_tpu.parallel.dp import dp_train_image_dict
 
     mesh = make_mesh({"dp": 8})
-    rng = np.random.default_rng(15)
     yy, xx = np.mgrid[0:40, 0:40]
     img = jnp.asarray(
         0.5 + 0.4 * np.sin(xx / 3.0) * np.cos(yy / 4.0), jnp.float64)
@@ -143,10 +147,6 @@ def test_dp_ndl_train_virtual_mesh():
     """Data-parallel NDL: chains sharded over a 4-device mesh, psum'd
     statistics; the run must produce a valid advancing state, sharded
     code/embeddings, and be deterministic."""
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-
     from onmf_ontf_ndl_tpu.data.graphs import graph_from_adjacency
     from onmf_ontf_ndl_tpu.models.state import init_state
     from onmf_ontf_ndl_tpu.parallel.dp import dp_ndl_train
@@ -202,10 +202,6 @@ def test_dp_ndl_train_virtual_mesh():
 def test_dp_ndl_train_bitset_graph():
     """DP NDL over the bit-packed graph representation (the scale path)
     on a virtual mesh."""
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-
     from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
     from onmf_ontf_ndl_tpu.models.state import init_state
     from onmf_ontf_ndl_tpu.parallel.dp import dp_ndl_train

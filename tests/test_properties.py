@@ -78,10 +78,7 @@ def test_patch_roundtrip_identity(shape, k, stride):
         covered[i:i+k, j:j+k] = True
     want = np.asarray(img)
     got = out
-    if len(shape) == 2:
-        np.testing.assert_allclose(got[covered], want[covered], rtol=1e-6)
-    else:
-        np.testing.assert_allclose(got[covered], want[covered], rtol=1e-6)
+    np.testing.assert_allclose(got[covered], want[covered], rtol=1e-6)
     assert (got[~covered] == 0).all()
 
 
