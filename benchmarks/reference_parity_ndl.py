@@ -85,7 +85,7 @@ def run_reference(A):
                          history=hist, alpha=None)
         W, aggs, _ = nmf.train_dict()
         Ag, Bg = aggs[0], aggs[1]
-        hist += INNER
+        hist = nmf.history   # the reference's own bookkeeping
 
     # reference reconstruction loop (network_reconstruction_nx.py:444-508)
     n = A.shape[0]

@@ -46,14 +46,23 @@ def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096):
     print(f"torus {m}x{m}: {g.num_nodes} nodes, {g.num_edges} edges, "
           f"bitset built+shipped in {t_load:.1f}s", file=sys.stderr)
 
-    rec = NetworkReconstructor(
-        source=g, n_components=25, MCMC_iterations=50, sub_iterations=30,
-        sample_size=500, batch_size=100, k1=0, k2=2, num_chains=16,
-        fast=True, seed=0)
+    def make():
+        return NetworkReconstructor(
+            source=g, n_components=25, MCMC_iterations=50,
+            sub_iterations=30, sample_size=500, batch_size=100, k1=0,
+            k2=2, num_chains=16, fast=True, seed=0)
+
+    # steady-state walls: the FIRST invocation includes the remote
+    # compile (which drifts up over session age — CLAUDE.md); run each
+    # phase twice and report the cached-compile second wall
+    rec = make()
+    rec.train_dict(); float(np.asarray(rec.W).sum())
+    rec = make()
     t0 = time.time()
     rec.train_dict()
     float(np.asarray(rec.W).sum())          # fence (axon: no block_until)
     t_train = time.time() - t0
+    rec.reconstruct_network(recons_iter=recons_iter, num_chains=num_chains)
     t0 = time.time()
     rec.reconstruct_network(recons_iter=recons_iter, num_chains=num_chains)
     acc = float(rec.compute_recons_accuracy())
@@ -74,12 +83,19 @@ def soak_500k():
     d, r, batch = 300, 25, 1024
     steps = 500_000
     pool = jax.random.uniform(jax.random.key(1), (d, 8192))
-    state = init_state(jax.random.key(0), d, r)
+    state0 = init_state(jax.random.key(0), d, r)
+
+    def run():
+        st, _ = train_dict(state0, pool, iterations=steps + 1,
+                           batch_size=batch, alpha=0.0, beta=1.0,
+                           stopping_diff=None, track_code=False)
+        return st
+
+    state = run()
+    float(jnp.sum(state.W))                # compile + fence
     t0 = time.time()
-    state, _ = train_dict(state, pool, iterations=steps + 1,
-                          batch_size=batch, alpha=0.0, beta=1.0,
-                          stopping_diff=None, track_code=False)
-    W = np.asarray(state.W)
+    state = run()
+    W = np.asarray(state.W)                # fence via host fetch
     wall = time.time() - t0
     from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
 
@@ -89,6 +105,7 @@ def soak_500k():
                 / jnp.linalg.norm(pool))
     assert np.isfinite(W).all() and (W >= 0).all()
     assert (np.linalg.norm(W, axis=0) <= 1.0 + 1e-5).all()
+    assert np.isfinite(obj), "soak objective went non-finite"
     print(f"soak: {steps} steps in {wall:.1f}s "
           f"({steps * batch / wall / 1e6:.1f}M patches/s), recon proxy "
           f"{obj:.4f}, W finite/nonneg/normed", file=sys.stderr)

@@ -50,7 +50,7 @@ def main():
             ising_iterations=args.rounds, temperature=0.5,
             ising_subsampling_steps=steps, sub_iterations=20,
             num_patches=500, batch_size=100, patch_size=10,
-            sampler="exact", seed=steps)
+            sampler="exact", seed=0)
         _, _, errors = rec.ising_mcmc_learning(initial_lattice=lat)
         traces[f"subsampling epoch of {steps}"] = np.asarray(errors)
         print(f"steps={steps}: {args.rounds} rounds in "

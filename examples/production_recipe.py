@@ -78,9 +78,10 @@ def main():
         state = init_state(jax.random.key(0), d, r)
         done = 0
 
+    X = shard_batch(mesh, X)               # place once, outside the loop
     for chunk in range(done, total_chunks):
         state = dp_train_dict(
-            mesh, state, shard_batch(mesh, X),
+            mesh, state, X,
             iterations=chunk_iters, batch_size_per_device=512,
             coder="fista", sub_iter=20)
         save_state(ckpt, state)
