@@ -27,6 +27,13 @@ import numpy as np
 
 
 def fence(x):
+    """Synchronize by host-fetching a scalar. Host-resident results
+    (NumPy arrays) are already synchronized — summing them locally
+    avoids shipping them BACK over the ~1 MB/s tunnel."""
+    import numpy as _np
+
+    if isinstance(x, _np.ndarray):
+        return float(x.astype(_np.float64).sum())
     import jax.numpy as jnp
 
     return float(jnp.sum(jnp.asarray(x, jnp.float32)))
@@ -104,7 +111,7 @@ def bench_tensor(data_dir, fast):
             iterations=20, sub_iterations=2, batch_size=100,
             block_iterations=4, num_patches=100, patch_size=20, fast=fast)
 
-    make().train_dict(mode=2, learn_joint_dict=True)    # compile
+    fence(make().train_dict(mode=2, learn_joint_dict=True))  # compile+fence
     rec = make()
     t0 = time.time()
     W = rec.train_dict(mode=2, learn_joint_dict=True); fence(W)
@@ -123,7 +130,7 @@ def bench_ising(fast):
             sampler="checkerboard_pallas" if fast else "checkerboard",
             fast=fast)
 
-    make().ising_mcmc_learning()                         # compile
+    fence(make().ising_mcmc_learning()[2])               # compile+fence
     rec = make()
     t0 = time.time()
     _, dicts, errors = rec.ising_mcmc_learning(); fence(errors)
@@ -146,7 +153,7 @@ def bench_network(data_dir, fast):
             batch_size=20, k1=0, k2=2, alpha=0.1,
             is_glauber_recons=False, fast=fast)
 
-    make().train_dict()                   # compile
+    fence(make().train_dict())            # compile + fence the warm-up
     rec = make()
     t0 = time.time()
     rec.train_dict(); fence(rec.W)
@@ -163,21 +170,23 @@ def bench_network(data_dir, fast):
     # indicators even for WAN (chd_gen_mx,
     # network_reconstruction_nx.py:301-305)
     wan = np.genfromtxt(f"{data_dir}/WAN/austen_1.txt", usecols=range(211))
-    rec2 = NetworkReconstructor(adjacency=wan, is_WAN=True,
-                                n_components=25,
-                                MCMC_iterations=10, sub_iterations=20,
-                                sample_size=200, batch_size=20, k1=0, k2=2,
-                                fast=fast)
+    def make_wan(weighted):
+        return NetworkReconstructor(adjacency=wan, is_WAN=True,
+                                    weighted_patches=weighted,
+                                    n_components=25,
+                                    MCMC_iterations=10, sub_iterations=20,
+                                    sample_size=200, batch_size=20,
+                                    k1=0, k2=2, fast=fast)
+
+    fence(make_wan(False).train_dict())   # compile + fence
+    rec2 = make_wan(False)
     t0 = time.time()
     rec2.train_dict(); fence(rec2.W)
     wan_s = time.time() - t0
     # weighted-patch EXTENSION (patches carry the normalized weights —
     # beyond the reference's binary patches)
-    rec3 = NetworkReconstructor(adjacency=wan, is_WAN=True,
-                                weighted_patches=True, n_components=25,
-                                MCMC_iterations=10, sub_iterations=20,
-                                sample_size=200, batch_size=20, k1=0, k2=2,
-                                fast=fast)
+    fence(make_wan(True).train_dict())    # compile + fence
+    rec3 = make_wan(True)
     t0 = time.time()
     rec3.train_dict(); fence(rec3.W)
     wan_w_s = time.time() - t0
@@ -193,7 +202,6 @@ def bench_arxiv(data_dir, fast):
     arxiv graph (BitsetGraph + segment-mean reconstruction — the dense
     (N, N) canvases would be ~2.8 GB and the result could never come back
     over the host link)."""
-    import jax.numpy as jnp
     from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
     from onmf_ontf_ndl_tpu.data.graphs import load_edgelist_bitset
 
@@ -206,7 +214,7 @@ def bench_arxiv(data_dir, fast):
             k2=2, alpha=0.1, is_glauber_recons=False, fast=fast,
             num_chains=16)
 
-    make().train_dict()                   # compile
+    fence(make().train_dict())            # compile + fence the warm-up
     rec = make()
     t0 = time.time()
     rec.train_dict(); fence(rec.W)
@@ -226,7 +234,6 @@ def bench_facebook(data_dir, fast):
     """The reference main()'s own config: facebook_combined (4039 nodes,
     88k edges), 21-node path motif k1=0/k2=20, rank 25
     (``network_reconstruction_nx.py:536-574``)."""
-    import jax.numpy as jnp
     from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
 
     def make():
@@ -237,7 +244,7 @@ def bench_facebook(data_dir, fast):
             is_glauber_dict=True, is_glauber_recons=False, fast=fast,
             num_chains=8)
 
-    make().train_dict()                   # compile
+    fence(make().train_dict())            # compile + fence the warm-up
     rec = make()
     t0 = time.time()
     rec.train_dict(); fence(rec.W)
@@ -261,7 +268,7 @@ def bench_video(data_dir, fast):
             sub_iterations=5, num_patches=100, batch_size=25,
             patch_size=7, fast=fast)
 
-    make().train_dict(epochs=2)                          # compile
+    fence(make().train_dict(epochs=2))                   # compile+fence
     v = make()
     t0 = time.time()
     W = v.train_dict(epochs=2); fence(W)

@@ -36,7 +36,7 @@ def torus_edges(m):
 
 
 def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096):
-    import jax
+    from run_all import fence, steady   # shared fencing/steady helpers
     from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
     from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
 
@@ -55,18 +55,16 @@ def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096):
     # steady-state walls: the FIRST invocation includes the remote
     # compile (which drifts up over session age — CLAUDE.md); run each
     # phase twice and report the cached-compile second wall
-    rec = make()
-    rec.train_dict(); float(np.asarray(rec.W).sum())
+    fence(make().train_dict())
     rec = make()
     t0 = time.time()
-    rec.train_dict()
-    float(np.asarray(rec.W).sum())          # fence (axon: no block_until)
+    rec.train_dict(); fence(rec.W)
     t_train = time.time() - t0
-    rec.reconstruct_network(recons_iter=recons_iter, num_chains=num_chains)
-    t0 = time.time()
-    rec.reconstruct_network(recons_iter=recons_iter, num_chains=num_chains)
+    t_rec, _ = steady(lambda: rec.reconstruct_network(
+        recons_iter=recons_iter, num_chains=num_chains))
+    # accuracy OUTSIDE the timer (host-link traffic; same methodology
+    # as run_all's network benches)
     acc = float(rec.compute_recons_accuracy())
-    t_rec = time.time() - t0
     print(f"train {t_train:.1f}s  recon {t_rec:.1f}s  accuracy {acc:.4f}",
           file=sys.stderr)
     return {"nodes": int(g.num_nodes), "edges": int(g.num_edges),
@@ -135,10 +133,11 @@ def serving_throughput():
                          method="fista")),
     ):
         def many(x):
-            proj = W.T @ x
-
             def body(c, _):
-                H = nonneg_code_gram(gram, proj + c * 0, proj * 0 + 0.5,
+                # per-request cost INCLUDES the projection W^T x (the
+                # c*0 anti-hoist keeps it inside the scan body)
+                proj = W.T @ (x + c * 0)
+                H = nonneg_code_gram(gram, proj, proj * 0 + 0.5,
                                      alpha=1.0, **kw)
                 return jnp.sum(H) * 1e-20, ()
 
@@ -169,19 +168,30 @@ def main():
     args = ap.parse_args()
     results = {}
     if os.path.exists(OUT):
-        with open(OUT) as f:
-            results = json.load(f)
+        try:
+            with open(OUT) as f:
+                results = json.load(f)
+        except Exception:
+            results = {}               # corrupt file: start fresh
     scale = (args.side / 180.0) ** 2
     key = "torus_32k_scale_ndl" if args.side == 180 else (
         f"torus_{args.side * args.side}_scale_ndl")
-    results[key] = big_torus_ndl(
-        args.side, recons_iter=int(1_200_000 * scale),
-        num_chains=4096 if args.side <= 180 else 8192)
-    results["serving_throughput"] = serving_throughput()
-    results["soak_500k_steps"] = soak_500k()
-    with open(OUT, "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps({k: results[k] for k in (key, "soak_500k_steps")}))
+    # each section records independently: a late failure must not lose
+    # the earlier (long) measurements
+    for name, fn in ((key, lambda: big_torus_ndl(
+                         args.side, recons_iter=int(1_200_000 * scale),
+                         num_chains=4096 if args.side <= 180 else 8192)),
+                     ("serving_throughput", serving_throughput),
+                     ("soak_500k_steps", soak_500k)):
+        try:
+            results[name] = fn()
+        except Exception as e:          # noqa: BLE001 — record and go on
+            print(f"{name} FAILED: {e}", file=sys.stderr)
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps({k: results[k] for k in
+                      (key, "serving_throughput", "soak_500k_steps")
+                      if k in results}))
 
 
 if __name__ == "__main__":
