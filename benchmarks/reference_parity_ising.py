@@ -62,16 +62,12 @@ def extract_random_patches(data, k, num):
 
 def make_lattice():
     """Shared burned-in lattice from the reference's own sampler."""
-    import types
-
-    if "progressbar" not in sys.modules:  # absent here
-        class _Bar:  # ising_update iterates `bar(range(n))`
-            def __call__(self, it):
-                return it
-
-        pb = types.ModuleType("progressbar")
-        pb.ProgressBar = _Bar
-        sys.modules["progressbar"] = pb
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        import refstubs
+    finally:
+        sys.path.remove(os.path.dirname(os.path.abspath(__file__)))
+    refstubs.install_stubs()
     sys.path.insert(0, REF)
     try:
         import ising_simulator as sim

@@ -25,7 +25,6 @@ import json
 import os
 import sys
 import time
-import types
 
 import numpy as np
 
@@ -42,28 +41,15 @@ STRIDE = 3          # recons_resolution
 
 
 def _install_stubs():
-    """src/ontf.py imports tensorly + progressbar (absent here); install
-    minimal stubs. The real tensorly ``unfold`` semantics are provided
-    (moveaxis + reshape) because train_dict_single calls it."""
-    if "tensorly" not in sys.modules:
-        def np_unfold(X, mode):
-            return np.reshape(np.moveaxis(np.asarray(X), mode, 0),
-                              (X.shape[mode], -1))
-
-        tl = types.ModuleType("tensorly")
-        tl.unfold = np_unfold
-        tenalg = types.ModuleType("tensorly.tenalg")
-        tenalg.khatri_rao = None
-        decomp = types.ModuleType("tensorly.decomposition")
-        decomp.parafac = None
-        tl.tenalg, tl.decomposition = tenalg, decomp
-        sys.modules["tensorly"] = tl
-        sys.modules["tensorly.tenalg"] = tenalg
-        sys.modules["tensorly.decomposition"] = decomp
-    if "progressbar" not in sys.modules:
-        pb = types.ModuleType("progressbar")
-        pb.ProgressBar = object
-        sys.modules["progressbar"] = pb
+    """src/ontf.py imports tensorly + progressbar (absent here); the
+    shared installer in ``refstubs.py`` provides real ``unfold``
+    semantics and a callable ProgressBar."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        import refstubs
+    finally:
+        sys.path.remove(os.path.dirname(os.path.abspath(__file__)))
+    refstubs.install_stubs()
 
 
 def extract_random_patches(data, k, num):

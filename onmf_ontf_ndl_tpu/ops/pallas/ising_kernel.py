@@ -79,11 +79,11 @@ def checkerboard_sweeps_pallas(
         (n <= ~1500 in f32).
     Returns the (n, n) int8 lattice after ``nsweeps`` full sweeps.
     """
-    n = lattice.shape[0]
     if lattice.ndim != 2 or lattice.shape[0] != lattice.shape[1]:
         raise ValueError(
             f"checkerboard_sweeps_pallas needs a square (n, n) lattice, "
             f"got {lattice.shape}")
+    n = lattice.shape[0]
     if n % 2 != 0:
         raise ValueError("even lattice side required")
     lat_f = lattice.astype(jnp.float32)

@@ -35,25 +35,16 @@ pytestmark = pytest.mark.skipif(
 
 
 def _install_stubs():
-    if "tensorly" not in sys.modules:
-        def np_unfold(X, mode):
-            return np.reshape(np.moveaxis(np.asarray(X), mode, 0),
-                              (X.shape[mode], -1))
-
-        tl = types.ModuleType("tensorly")
-        tl.unfold = np_unfold
-        tenalg = types.ModuleType("tensorly.tenalg")
-        tenalg.khatri_rao = None  # imported by src/ontf.py, never called
-        decomp = types.ModuleType("tensorly.decomposition")
-        decomp.parafac = None
-        tl.tenalg, tl.decomposition = tenalg, decomp
-        sys.modules["tensorly"] = tl
-        sys.modules["tensorly.tenalg"] = tenalg
-        sys.modules["tensorly.decomposition"] = decomp
-    if "progressbar" not in sys.modules:
-        pb = types.ModuleType("progressbar")
-        pb.ProgressBar = object
-        sys.modules["progressbar"] = pb
+    """Shared stubs (benchmarks/refstubs.py): callable ProgressBar so the
+    ising e2e harness and this module agree regardless of import order."""
+    bench_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks")
+    sys.path.insert(0, bench_dir)
+    try:
+        import refstubs
+    finally:
+        sys.path.remove(bench_dir)
+    refstubs.install_stubs()
 
 
 @pytest.fixture(scope="module")
