@@ -10,11 +10,13 @@ then the strided color reconstruction with per-patch sklearn
 (``:287-328``) — next to our ``ImageReconstructorTensor`` at the same
 config and seeds.
 
-The two sides use different CODERS by design (the reference codes with
-sklearn's LARS solver; we solve the same objective with projected
-gradient — SURVEY.md §7 hard-part b), so the comparison is
-reconstruction-level: both errors must land at the model-class floor,
-within a few percent of each other, NOT coefficient-level equality.
+The two sides use different SOLVERS by design (the reference codes with
+sklearn's exact LARS; the tensor app's default coder="exact" solves the
+same objective to convergence by accelerated projected gradient —
+SURVEY.md §7 hard-part b), so the comparison is reconstruction-level:
+both errors must land at the model-class floor, within 5% of each
+other, NOT coefficient-level equality. The opt-in "bcd" coder (the ONMF
+apps' reference-semantics damped sweeps) is also recorded for color.
 
 Runs on CPU. Usage:
   python benchmarks/reference_parity_ontf.py [--image PATH] [--out JSON]
@@ -110,7 +112,10 @@ def run_reference(data):
     return float(err), W
 
 
-def run_ours(data, coder="bcd"):
+def run_ours(data, coder=None):
+    """coder=None runs the app DEFAULT (coder="exact": converged
+    accelerated PGD, the parity match for the reference's exact sklearn
+    LARS solve)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -118,12 +123,14 @@ def run_ours(data, coder="bcd"):
     import jax.numpy as jnp
     from onmf_ontf_ndl_tpu.apps.image_tensor import ImageReconstructorTensor
 
+    kwargs = {} if coder is None else {
+        "coder": coder,
+        "coder_sub_iter": (50 if coder == "fista" else None)}
     rec = ImageReconstructorTensor(
         data=jnp.asarray(data), n_components=RANK, iterations=OUTER,
         sub_iterations=INNER, block_iterations=BLOCK,
         num_patches=NUM_PATCHES, batch_size=BATCH, patch_size=PATCH,
-        dtype=jnp.float64, seed=11, coder=coder,
-        coder_sub_iter=(50 if coder == "fista" else None))
+        dtype=jnp.float64, seed=11, **kwargs)
     rec.train_dict(mode=2, learn_joint_dict=True)
     img = np.asarray(rec.reconstruct_image_color(
         data=data, recons_resolution=STRIDE, alpha=1.0))
@@ -160,17 +167,17 @@ def main():
     print(f"reference ontf recon_rel_err {err_ref:.5f} ({t_ref:.0f}s)",
           file=sys.stderr)
     t0 = time.time()
-    err_ours, _ = run_ours(data)
+    err_ours, _ = run_ours(data)           # DEFAULT path (coder="exact")
     t_ours = time.time() - t0
-    print(f"ours bcd  ontf recon_rel_err {err_ours:.5f} ({t_ours:.0f}s)",
-          file=sys.stderr)
+    print(f"ours default(exact) ontf recon_rel_err {err_ours:.5f} "
+          f"({t_ours:.0f}s)", file=sys.stderr)
     t0 = time.time()
-    err_fista, _ = run_ours(data, coder="fista")
-    t_fista = time.time() - t0
-    print(f"ours fista ontf recon_rel_err {err_fista:.5f} ({t_fista:.0f}s)",
+    err_bcd, _ = run_ours(data, coder="bcd")
+    t_bcd = time.time() - t0
+    print(f"ours bcd   ontf recon_rel_err {err_bcd:.5f} ({t_bcd:.0f}s)",
           file=sys.stderr)
     rel = abs(err_ours - err_ref) / err_ref
-    rel_fista = abs(err_fista - err_ref) / err_ref
+    rel_bcd = abs(err_bcd - err_ref) / err_ref
     result = {
         "config": {"rank": RANK, "patch": PATCH, "outer": OUTER,
                    "inner": INNER, "block": BLOCK,
@@ -179,19 +186,21 @@ def main():
                    "image": os.path.basename(args.image),
                    "mode": 2, "joint": True},
         "recon_rel_err_reference": round(err_ref, 5),
-        "recon_rel_err_ours_bcd": round(err_ours, 5),
-        "recon_rel_err_ours_fista": round(err_fista, 5),
-        "relative_gap_bcd": round(rel, 5),
-        "relative_gap_fista": round(rel_fista, 5),
-        # the reference codes with an EXACT lasso solver (sklearn LARS);
-        # ours is iterative, so the criterion is reconstruction-level:
-        # with the converged (fista) coder the pipelines must land within
-        # 10% of each other (the residual gap is solver convergence, not
-        # pipeline error)
-        "within_10pct": bool(rel_fista <= 0.10),
+        "recon_rel_err_ours_default": round(err_ours, 5),
+        "recon_rel_err_ours_bcd": round(err_bcd, 5),
+        "relative_gap_default": round(rel, 5),
+        "relative_gap_bcd": round(rel_bcd, 5),
+        # the reference codes with an EXACT lasso solver (sklearn LARS)
+        # in both training and reconstruction; the DEFAULT tensor-app
+        # coder ("exact", converged accelerated PGD on the same
+        # objective) must land within 5% of it. The opt-in "bcd" run
+        # (the ONMF apps' reference-semantics sweeps) is recorded for
+        # color — its damped t-schedule is NOT the tensor reference's
+        # coder and lands several percent higher.
+        "within_5pct_default": bool(rel <= 0.05),
         "wall_s_reference": round(t_ref, 2),
-        "wall_s_ours_bcd": round(t_ours, 2),
-        "wall_s_ours_fista": round(t_fista, 2),
+        "wall_s_ours_default": round(t_ours, 2),
+        "wall_s_ours_bcd": round(t_bcd, 2),
     }
     print(json.dumps(result))
     if args.out:

@@ -125,7 +125,7 @@ class ImageReconstructorTensor:
         alpha: float | None = None,
         beta: float | None = None,
         fast: bool = False,
-        coder: str = "bcd",
+        coder: str = "exact",
         coder_sub_iter: int | None = None,
         seed: int = 0,
         dtype=jnp.float32,
@@ -154,16 +154,25 @@ class ImageReconstructorTensor:
         self.alpha = 2.0 if alpha is None else float(alpha)
         self.beta = 1.0 if beta is None else float(beta)
         self.fast = fast
-        self.coder = coder
         # The reference's tensor coder is sklearn lasso_lars — an EXACT
-        # solve; its block_iterations knob is stored but never used by
-        # src/ontf.py (:47). Our iterative coder approximates that exact
-        # solve, so its sweep count must not be crippled by a low
-        # block_iterations: floor it at 30 unless explicitly overridden
-        # (reconstruction-level parity, SURVEY.md §7 hard-part b).
+        # solve of 0.5|x-Wh|^2 + alpha|h|_1, h>=0 — in BOTH training
+        # (src/ontf.py:80-86) and reconstruction
+        # (image_reconstruction_tensor.py:309-312); its block_iterations
+        # knob is stored but never used by src/ontf.py (:47). The default
+        # coder="exact" therefore solves the same objective to
+        # convergence (accelerated projected gradient, >=100 sweeps —
+        # measured e2e recon gap vs the reference's LARS pipeline: 0.7%,
+        # benchmarks/reference_parity_ontf.py). "bcd" (the ONMF apps'
+        # reference-semantics sweeps) and "fista" remain selectable; for
+        # those the sweep floor is 30 so the reference configs' tiny
+        # block_iterations don't cripple coding quality (SURVEY.md §7
+        # hard-part b).
+        self.coder = coder
+        self._coder_method = "fista" if coder == "exact" else coder
+        floor = 100 if coder == "exact" else 30
         self.coder_sub_iter = (int(coder_sub_iter)
                                if coder_sub_iter is not None
-                               else max(int(block_iterations), 30))
+                               else max(int(block_iterations), floor))
         self.seed = seed
         self.dtype = dtype
         self.state = None
@@ -191,7 +200,7 @@ class ImageReconstructorTensor:
             sub_iter=self.coder_sub_iter,
             use_stopping=not self.fast,
             backend=_resolve_backend("auto", not self.fast),
-            coder=self.coder,
+            coder=self._coder_method,
         )
         self.W = self.state.W
         return self.W
@@ -215,7 +224,7 @@ class ImageReconstructorTensor:
         return reconstruct(
             jnp.asarray(data, self.dtype), self.W, jax.random.key(29),
             patch_size=self.patch_size, stride=recons_resolution, alpha=alpha,
-            sub_iter=self.coder_sub_iter, method=self.coder,
+            sub_iter=self.coder_sub_iter, method=self._coder_method,
         )
 
     def reconstruct_image(self, path: str | None = None, data=None,
@@ -245,7 +254,7 @@ class ImageReconstructorTensor:
         return reconstruct(
             data, self.W, jax.random.key(29), patch_size=k,
             alpha=self.alpha, full_grid=True,
-            sub_iter=self.coder_sub_iter, method=self.coder,
+            sub_iter=self.coder_sub_iter, method=self._coder_method,
         )
 
     def display_second_dictionary(self, H, save_path: str | None = None,

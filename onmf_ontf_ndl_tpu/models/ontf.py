@@ -62,7 +62,7 @@ class OnlineNTF:
         alpha: float | None = None,
         beta: float | None = None,
         subsample: bool = True,
-        coder: str = "bcd",
+        coder: str = "exact",
         coder_sub_iter: int | None = None,
         key: jax.Array | None = None,
         seed: int = 0,
@@ -82,16 +82,21 @@ class OnlineNTF:
         self.alpha = 2.0 if alpha is None else float(alpha)
         self.beta = 1.0 if beta is None else float(beta)
         self.subsample = subsample
+        # the reference's sklearn coder solves each lasso EXACTLY
+        # (src/ontf.py:80-86), and the driver knob threaded into this
+        # slot (block_iterations, as low as 2-4 in the reference's own
+        # configs) is stored-but-unused there (src/ontf.py:47). Default
+        # coder="exact": accelerated projected gradient run to
+        # convergence (>=100 sweeps) on the same objective — the parity
+        # match for that exact solve. "bcd"/"fista" remain selectable
+        # with a floor of 30 sweeps (same policy as
+        # ImageReconstructorTensor.coder_sub_iter).
         self.coder = coder
-        # the reference's sklearn coder solves each lasso EXACTLY, and
-        # the driver knob threaded into this slot (block_iterations, as
-        # low as 2-4 in the reference's own configs) is stored-but-
-        # unused there (src/ontf.py:47); floor our iterative coder's
-        # sweep count so those configs don't cripple coding quality
-        # (same policy as ImageReconstructorTensor.coder_sub_iter)
+        self._coder_method = "fista" if coder == "exact" else coder
+        floor = 100 if coder == "exact" else 30
         self.coder_sub_iter = (int(coder_sub_iter)
                                if coder_sub_iter is not None
-                               else max(int(sub_iterations), 30))
+                               else max(int(sub_iterations), floor))
         self.dtype = dtype
 
         X_unfold = unfold(self.X, mode)
@@ -127,7 +132,7 @@ class OnlineNTF:
         H = nonneg_code(
             X, W, key=key, alpha=self.alpha,
             sub_iter=self.coder_sub_iter, stopping_diff=0.01,
-            method=self.coder,
+            method=self._coder_method,
         )
         return H.T
 
@@ -138,7 +143,7 @@ class OnlineNTF:
             iterations=self.iterations, batch_size=self.batch_size,
             subsample=self.subsample, alpha=self.alpha, beta=self.beta,
             sub_iter=self.coder_sub_iter, stopping_diff=0.01,
-            track_code=False, coder=self.coder,
+            track_code=False, coder=self._coder_method,
         )
         st = self.state
         return st.W, st.A, st.B, self.code

@@ -65,7 +65,9 @@ class TensorConfig:
     learn_joint_dict: bool = True
     is_color: bool = True
     alpha: float | None = None
-    coder: str = "bcd"
+    # the tensor pipeline's reference coder is an exact sklearn LARS
+    # solve, so its default is the converged coder (PARITY.md C4)
+    coder: str = "exact"
     seed: int = 0
 
     def build(self):

@@ -15,12 +15,13 @@ RNG = np.random.default_rng(13)
 def test_ontf_equals_onmf_on_unfolded():
     X = RNG.random((16, 3, 30))
     for mode, joint in [(2, True), (0, False), (1, False)]:
-        # coder_sub_iter pinned to match the ONMF side's sub_iter (the
-        # default floors it at 30 to approximate the reference's exact
-        # sklearn solve)
+        # coder/coder_sub_iter pinned to match the ONMF side (the ONTF
+        # default is the converged "exact" coder with a 100-sweep floor,
+        # matching the reference's exact sklearn solve)
         ntf = OnlineNTF(X, n_components=5, iterations=6, batch_size=8,
                         mode=mode, learn_joint_dict=joint, alpha=0.7,
-                        coder_sub_iter=10, seed=4, dtype=jnp.float64)
+                        coder="bcd", coder_sub_iter=10, seed=4,
+                        dtype=jnp.float64)
         W, A, B, _ = ntf.train_dict_single()
 
         Xu = unfold(jnp.asarray(X, jnp.float64), mode)

@@ -2,9 +2,10 @@
 
 Reduced-config regression guard for ``benchmarks/reference_parity_ontf.py``
 (full-config record in ``benchmarks/results.json``). The reference codes
-with sklearn's exact LARS solver; ours with the converged FISTA coder —
-the criterion is reconstruction-level (both at the model-class floor),
-not coefficient-level. Skipped when the reference checkout isn't mounted.
+with sklearn's exact LARS solver; ours with the DEFAULT tensor-app coder
+("exact": converged accelerated PGD on the same objective) — the
+criterion is reconstruction-level (both at the model-class floor), not
+coefficient-level. Skipped when the reference checkout isn't mounted.
 """
 
 import os
@@ -40,7 +41,7 @@ def test_ontf_recon_error_close_to_reference():
     rp.OUTER, rp.NUM_PATCHES, rp.STRIDE = 8, 60, 4
     try:
         err_ref, _ = rp.run_reference(data)
-        err_ours, _ = rp.run_ours(data, coder="fista")
+        err_ours, _ = rp.run_ours(data)      # the app default ("exact")
     finally:
         rp.OUTER, rp.NUM_PATCHES, rp.STRIDE = old
 
