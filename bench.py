@@ -14,16 +14,24 @@ implementation with identical semantics to
 /root/reference/src/onmf.py:92-167,233-271) measured at ITS best batch
 size over {100, 1024, 4096} — the batch sweep removes the round-1
 batch-handicap (the Python row sweep amortizes at large batches, so a
-fixed small CPU batch inflates the ratio ~4x). The TPU side likewise
-takes its best batch over {4096, 8192, 16384} (the fused Pallas sweep
-kernels amortize their sequential sub_iter x r loop over wider column
-tiles).
+fixed small CPU batch inflates the ratio ~4x).
+
+The TPU side uses the TPU-native BLOCK sampler (contiguous wrap-around
+slice of a once-permuted pool — full-bandwidth HBM streaming instead of
+an ~87 us/step random-column gather; PARITY.md deviation #12,
+docs/DESIGN.md §2) swept over batches {32768, 65536, 131072}, and ALSO
+records the reference's iid-with-replacement gather sampling at batch
+16384 (`iid_value` / `early_stop_iid_value`) so the sampling deviation
+is priced in the record. Per-patch step math is identical in both.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": tpu_patches_per_sec, "unit": "patches/s",
+  {"metric": ..., "value": tpu_patches_per_sec (block sampling),
+   "unit": "patches/s",
    "vs_baseline": tpu/cpu   (fixed-sweep semantics, best-batch both sides),
-   "early_stop_vs_baseline": same ratio under reference early-stop
-    semantics, "mfu": model-flop utilization vs bf16 peak, ...}
+   "iid_value": fixed-sweep with reference sampling semantics,
+   "early_stop_value"/"early_stop_vs_baseline"/"early_stop_iid_value":
+    same under reference early-stop semantics,
+   "mfu": model-flop utilization vs bf16 peak, ...}
 """
 
 import json
@@ -37,7 +45,8 @@ D, R = 300, 25          # 10x10x3 color patches, rank 25
 SUB_ITER = 10
 STOP = 0.01
 CPU_BATCHES = (100, 1024, 4096)
-TPU_BATCHES = (4096, 8192, 16384)
+TPU_BATCHES = (32768, 65536, 131072)   # block sampler: gather-free, wide
+IID_BATCH = 16384                      # reference-sampling record point
 PEAK_FLOPS_BF16 = 197e12   # TPU v5e chip peak (bf16 MXU)
 
 
@@ -114,7 +123,7 @@ def best_cpu(stop):
 
 
 # ----------------------------------------------------------------- TPU
-def measure_tpu(batch, stop, coder="bcd"):
+def measure_tpu(batch, stop, coder="bcd", sampling="block"):
     import jax
     import jax.numpy as jnp
     from onmf_ontf_ndl_tpu.models.state import init_state
@@ -124,7 +133,7 @@ def measure_tpu(batch, stop, coder="bcd"):
     # ~tens of ms PER JIT CALL (measured: a trivial 100-step scan reads
     # as 280 us/step, a 10000-step one as 2.7 us/step), so short runs
     # under-report steady-state throughput by 2x at large batches
-    iters = max(400, 16_000_000 // batch)
+    iters = max(200, 16_000_000 // batch)
     pool = jax.random.uniform(jax.random.key(1), (D, 8192))
     state = init_state(jax.random.key(0), D, R)
 
@@ -132,7 +141,8 @@ def measure_tpu(batch, stop, coder="bcd"):
         st, _ = train_dict(st, pool, iterations=iters + 1,
                            batch_size=batch, alpha=0.0, beta=1.0,
                            sub_iter=SUB_ITER, stopping_diff=stop,
-                           track_code=False, coder=coder)
+                           track_code=False, coder=coder,
+                           sampling=sampling)
         return st
 
     # warmup/compile; NOTE: block_until_ready is unreliable on the axon
@@ -150,11 +160,12 @@ def measure_tpu(batch, stop, coder="bcd"):
     return iters * batch / best
 
 
-def best_tpu(stop, coder="bcd"):
+def best_tpu(stop, coder="bcd", sampling="block"):
     best, best_batch = 0.0, None
     for b in TPU_BATCHES:
-        pps = measure_tpu(b, stop, coder)
-        print(f"  tpu batch {b}: {pps:,.0f} patches/s", file=sys.stderr)
+        pps = measure_tpu(b, stop, coder, sampling)
+        print(f"  tpu batch {b} ({sampling}): {pps:,.0f} patches/s",
+              file=sys.stderr)
         if pps > best:
             best, best_batch = pps, b
     return best, best_batch
@@ -165,10 +176,16 @@ def main():
           file=sys.stderr)
     cpu_fx, cpu_fx_b = best_cpu(stop=None)
     tpu_fx, tpu_fx_b = best_tpu(stop=None)
+    tpu_fx_iid = measure_tpu(IID_BATCH, None, sampling="iid")
+    print(f"  tpu batch {IID_BATCH} (iid): {tpu_fx_iid:,.0f} patches/s",
+          file=sys.stderr)
     print("reference early-stop semantics (stop 0.01, both sides):",
           file=sys.stderr)
     cpu_es, cpu_es_b = best_cpu(stop=STOP)
     tpu_es, tpu_es_b = best_tpu(stop=STOP)
+    tpu_es_iid = measure_tpu(IID_BATCH, STOP, sampling="iid")
+    print(f"  tpu batch {IID_BATCH} (iid): {tpu_es_iid:,.0f} patches/s",
+          file=sys.stderr)
     print("production mode (FISTA coder, same 10-sweep budget; relaxed "
           "semantics — same objective, typically a better final objective; "
           "docs/DESIGN.md):", file=sys.stderr)
@@ -176,12 +193,12 @@ def main():
 
     fpp = flops_per_patch()
     mfu = tpu_fx * fpp / PEAK_FLOPS_BF16
-    print(f"fixed-sweep:  tpu {tpu_fx:,.0f} (batch {tpu_fx_b}) vs cpu-best "
-          f"{cpu_fx:,.0f} (batch {cpu_fx_b}) = {tpu_fx / cpu_fx:.0f}x",
-          file=sys.stderr)
-    print(f"early-stop:   tpu {tpu_es:,.0f} (batch {tpu_es_b}) vs cpu-best "
-          f"{cpu_es:,.0f} (batch {cpu_es_b}) = {tpu_es / cpu_es:.0f}x",
-          file=sys.stderr)
+    print(f"fixed-sweep:  tpu {tpu_fx:,.0f} (batch {tpu_fx_b}, block; iid "
+          f"{tpu_fx_iid:,.0f}) vs cpu-best {cpu_fx:,.0f} (batch {cpu_fx_b}) "
+          f"= {tpu_fx / cpu_fx:.0f}x", file=sys.stderr)
+    print(f"early-stop:   tpu {tpu_es:,.0f} (batch {tpu_es_b}, block; iid "
+          f"{tpu_es_iid:,.0f}) vs cpu-best {cpu_es:,.0f} (batch {cpu_es_b}) "
+          f"= {tpu_es / cpu_es:.0f}x", file=sys.stderr)
     print(f"fista mode:   tpu {tpu_fi:,.0f} (batch {tpu_fi_b}) vs cpu-best "
           f"{cpu_fx:,.0f} = {tpu_fi / cpu_fx:.0f}x (same sweep budget, "
           f"relaxed semantics)", file=sys.stderr)
@@ -194,8 +211,13 @@ def main():
         "value": round(tpu_fx, 1),
         "unit": "patches/s",
         "vs_baseline": round(tpu_fx / cpu_fx, 2),
+        "sampling": "block",
+        "iid_value": round(tpu_fx_iid, 1),
+        "iid_vs_baseline": round(tpu_fx_iid / cpu_fx, 2),
         "early_stop_value": round(tpu_es, 1),
         "early_stop_vs_baseline": round(tpu_es / cpu_es, 2),
+        "early_stop_iid_value": round(tpu_es_iid, 1),
+        "early_stop_iid_vs_baseline": round(tpu_es_iid / cpu_es, 2),
         "tpu_batch": tpu_fx_b,
         "cpu_baseline_batch": cpu_fx_b,
         "mfu_bf16_peak": round(mfu, 5),

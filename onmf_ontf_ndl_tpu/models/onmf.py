@@ -114,7 +114,7 @@ def onmf_step(
     static_argnames=(
         "iterations", "batch_size", "subsample", "sub_iter",
         "use_stopping", "track_code", "dict_from", "backend",
-        "track_metrics", "psum_axis", "coder",
+        "track_metrics", "psum_axis", "coder", "sampling",
     ),
 )
 def _train_scan(
@@ -135,15 +135,37 @@ def _train_scan(
     track_metrics: bool = False,
     psum_axis: str | None = None,
     coder: str = "bcd",
+    sampling: str = "iid",
 ):
     # every training path (apps, DP layer, CLI configs) funnels through
     # here — validate at trace time so a typo'd coder can't silently run
     # the default bcd path
+    if sampling not in ("iid", "block"):
+        raise ValueError(f"sampling must be 'iid' or 'block', got {sampling!r}")
     if coder not in ("bcd", "fista"):
         raise ValueError(f"coder must be 'bcd' or 'fista', got {coder!r}")
     n = X.shape[1]
     r = state.r
     t0 = state.t
+
+    use_block = subsample and sampling == "block"
+    if use_block:
+        # TPU-native sampling (opt-in; PARITY.md deviation #12): permute
+        # the pool once, then each step takes a CONTIGUOUS wrap-around
+        # block at a random offset. A random-column gather of a
+        # 16k-column batch costs ~87 us/step of random-access HBM; a
+        # dynamic_slice of the tiled permuted pool streams at full
+        # bandwidth (measured 101 -> 14 us/step at the bench shape,
+        # docs/DESIGN.md §2). Uniform per-column marginal; within-batch
+        # sampling is without-replacement per pool pass (vs the
+        # reference's iid-with-replacement draw).
+        key, pkey = jax.random.split(state.key)
+        state = dataclasses.replace(state, key=key)
+        perm = jax.random.permutation(pkey, n)
+        reps = -(-(n + batch_size) // n)          # ceil, wrap-around room
+        Xp = jnp.take(X, perm, axis=1)
+        X_tiled = jnp.tile(Xp, (1, reps))[:, :n + batch_size]
+        perm_tiled = jnp.tile(perm, reps)[:n + batch_size]
 
     def body(carry, i):
         st, code = carry
@@ -154,7 +176,12 @@ def _train_scan(
             me = lax.axis_index(psum_axis)
             skey = jax.random.fold_in(skey, me)
             hkey = jax.random.fold_in(hkey, me)
-        if subsample:
+        if use_block:
+            off = jax.random.randint(skey, (), 0, n)
+            Xb = lax.dynamic_slice(X_tiled, (0, off), (X.shape[0], batch_size))
+            idx = (lax.dynamic_slice(perm_tiled, (off,), (batch_size,))
+                   if track_code else None)
+        elif subsample:
             idx = jax.random.randint(skey, (batch_size,), 0, n)
             Xb = jnp.take(X, idx, axis=1)
         else:
@@ -291,12 +318,22 @@ def train_dict(
     backend: str = "auto",
     return_metrics: bool = False,
     coder: str = "bcd",
+    sampling: str = "iid",
 ) -> tuple[OnmfState, jax.Array]:
     """Run ``iterations - 1`` online steps over minibatches of ``X`` (d, n).
 
     The loop count and schedule mirror the reference's
     ``for i in np.arange(1, iterations)`` with step weight
     ``(t0 + i)^-beta`` (``/root/reference/src/onmf.py:206-220``).
+
+    ``sampling`` (only with ``subsample=True``): ``"iid"`` (default)
+    draws batch columns iid with replacement like the reference
+    (``src/onmf.py:212-214``); ``"block"`` is the opt-in TPU-native
+    sampler — a contiguous wrap-around block of a once-permuted pool at
+    a random per-step offset (uniform marginal, without-replacement per
+    pool pass; PARITY.md deviation #12). Block sampling replaces the
+    random-access HBM gather with a full-bandwidth slice: measured
+    ~87 us/step faster at the headline bench shape (docs/DESIGN.md §2).
 
     Returns the final state and the (r, n) accumulated code matrix.
     """
@@ -320,7 +357,7 @@ def train_dict(
         int(iterations), int(batch_size), bool(subsample), int(sub_iter),
         use_stopping, bool(track_code), dict_from,
         backend=resolve_backend(backend, use_stopping),
-        track_metrics=bool(return_metrics), coder=coder,
+        track_metrics=bool(return_metrics), coder=coder, sampling=sampling,
     )
     if return_metrics:
         return state, code, metrics

@@ -214,3 +214,65 @@ def test_online_nmf_default_full_batch():
     Ww, Aw, Bw, _, codew, _ = train_oracle(X, W, 4, batches, H0s)
     np.testing.assert_allclose(np.asarray(W1), Ww, rtol=1e-8)
     np.testing.assert_allclose(np.asarray(code), codew, rtol=1e-8)
+
+
+def test_train_dict_block_sampling():
+    """sampling="block" (PARITY.md deviation #12): contiguous blocks of
+    a once-permuted pool. Invariants, determinism, code-index integrity,
+    and the wrap-around batch > n case."""
+    from onmf_ontf_ndl_tpu.models.onmf import train_dict
+
+    d, r, n = 24, 5, 40
+    X = jnp.asarray(RNG.random((d, n)))
+    st = init_state(jax.random.key(6), d, r, dtype=jnp.float64)
+    st1, code1 = train_dict(st, X, iterations=8, batch_size=16,
+                            subsample=True, sampling="block")
+    W = np.asarray(st1.W)
+    assert (W >= 0).all() and np.isfinite(W).all()
+    assert (np.linalg.norm(W, axis=0) <= 1 + 1e-9).all()
+    assert float(st1.t) == 8.0
+    # code accumulated at real (permuted) pool indices: every step adds
+    # batch_size column contributions
+    assert code1.shape == (r, n)
+    assert float(jnp.abs(code1).sum()) > 0
+    # deterministic
+    st2, code2 = train_dict(st, X, iterations=8, batch_size=16,
+                            subsample=True, sampling="block")
+    np.testing.assert_array_equal(np.asarray(st1.W), np.asarray(st2.W))
+    np.testing.assert_array_equal(np.asarray(code1), np.asarray(code2))
+    # wrap-around: batch larger than the pool
+    st3, _ = train_dict(st, X, iterations=4, batch_size=96,
+                        subsample=True, sampling="block", track_code=False)
+    assert np.isfinite(np.asarray(st3.W)).all()
+    # invalid mode rejected
+    import pytest
+    with pytest.raises(ValueError, match="sampling"):
+        train_dict(st, X, iterations=3, batch_size=8, subsample=True,
+                   sampling="bogus")
+
+
+def test_block_sampling_learns():
+    """Block sampling reaches the same dictionary quality as iid
+    sampling on a planted sparse-dictionary problem."""
+    from onmf_ontf_ndl_tpu.models.onmf import train_dict
+    from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
+
+    rng = np.random.default_rng(5)
+    d, r, n = 48, 6, 400
+    Wt = np.abs(rng.standard_normal((d, r)))
+    Wt /= np.linalg.norm(Wt, axis=0)
+    X = jnp.asarray(Wt @ (np.abs(rng.standard_normal((r, n)))
+                          * (rng.random((r, n)) < 0.3))
+                    + 0.01 * rng.random((d, n)))
+
+    def err(sampling):
+        st = init_state(jax.random.key(2), d, r, dtype=jnp.float64)
+        st, _ = train_dict(st, X, iterations=80, batch_size=64,
+                           subsample=True, sampling=sampling,
+                           track_code=False)
+        H = nonneg_code(X, st.W, key=jax.random.key(9), alpha=0.0,
+                        sub_iter=20, stopping_diff=None)
+        return float(jnp.linalg.norm(X - st.W @ H) / jnp.linalg.norm(X))
+
+    e_iid, e_block = err("iid"), err("block")
+    assert e_block < e_iid * 1.15, (e_iid, e_block)
