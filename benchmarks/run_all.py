@@ -284,6 +284,10 @@ def main():
     ap.add_argument("--fast", action="store_true", default=True)
     ap.add_argument("--reference-semantics", dest="fast",
                     action="store_false")
+    ap.add_argument("--out", default=None,
+                    help="record file (default results.json; use "
+                         "results_reference_semantics.json for the "
+                         "--reference-semantics standing record)")
     args = ap.parse_args()
 
     results = {"fast_mode": args.fast}
@@ -305,8 +309,8 @@ def main():
             results[name] = {"error": f"{type(e).__name__}: {e}"}
             print(f"{name}: FAILED {e}", file=sys.stderr, flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results.json")
+    out = args.out or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "results.json")
     # merge over existing keys (e.g. recon_err_vs_reference from
     # reference_parity.py) instead of clobbering the file
     merged = {}

@@ -113,11 +113,47 @@ def _pair_matrix(g, emb: jax.Array) -> jax.Array:
 def _uniform_from_mask(key: jax.Array, mask: jax.Array) -> jax.Array:
     """Uniform draw from the True entries of a boolean vector; uniform
     over all indices when the mask is empty (the reference's rejected
-    Glauber move fallback, ``:167-172``)."""
-    any_true = jnp.any(mask)
-    logits = jnp.where(jnp.logical_or(mask, jnp.logical_not(any_true)),
-                       0.0, -jnp.inf)
-    return jax.random.categorical(key, logits)
+    Glauber move fallback, ``:167-172``).
+
+    Implemented as ONE uniform draw + cumsum rank-select (identical law
+    to a masked categorical): a Gumbel categorical generates N random
+    floats per draw, which at ensemble scale (8192 chains x 65536
+    nodes) is ~0.5G threefry evaluations per chain step — the measured
+    wall of the reconstruction sampler. Rank selection needs no
+    per-node randomness at all."""
+    c = jnp.cumsum(mask.astype(jnp.int32))
+    total = c[-1]
+    ku, kf = jax.random.split(key)
+    u = jax.random.uniform(ku, ())
+    target = jnp.minimum((u * total).astype(jnp.int32) + 1,
+                         jnp.maximum(total, 1))
+    idx = jnp.argmax(c >= target)
+    fallback = jax.random.randint(kf, (), 0, mask.shape[0])
+    return jnp.where(total > 0, idx, fallback).astype(jnp.int32)
+
+
+def _select_uniform_bit(key: jax.Array, words: jax.Array,
+                        n: int) -> jax.Array:
+    """Uniform draw from the set bits of a packed uint32 bitset row
+    (words beyond ``n`` must already be masked off); uniform over
+    [0, n) when no bit is set. Packed counterpart of
+    :func:`_uniform_from_mask`: popcount + cumsum locate the target
+    word, then a 32-lane scan finds the in-word bit — the (n,)-wide
+    boolean vector is never materialized."""
+    pc = lax.population_count(words).astype(jnp.int32)
+    c = jnp.cumsum(pc)
+    total = c[-1]
+    ku, kf = jax.random.split(key)
+    u = jax.random.uniform(ku, ())
+    target = jnp.minimum((u * total).astype(jnp.int32) + 1,
+                         jnp.maximum(total, 1))
+    widx = jnp.argmax(c >= target)
+    rank = target - jnp.where(widx > 0, c[jnp.maximum(widx - 1, 0)], 0)
+    word = words[widx]
+    bits = ((word >> jnp.arange(32, dtype=jnp.uint32)) & 1).astype(jnp.int32)
+    bpos = jnp.argmax(jnp.cumsum(bits) >= rank)
+    fallback = jax.random.randint(kf, (), 0, n)
+    return jnp.where(total > 0, widx * 32 + bpos, fallback).astype(jnp.int32)
 
 
 def tree_sample(key: jax.Array, parents: tuple[int, ...], g,
@@ -154,23 +190,68 @@ def rw_update(key: jax.Array, g, x: jax.Array) -> jax.Array:
     return jnp.where(g.deg[x] > 0, y, jump).astype(jnp.int32)
 
 
+def _motif_neighbor_table(B: np.ndarray) -> np.ndarray:
+    """Static (k, max_deg) table of each motif node's neighbors in the
+    symmetrized motif, padded with -1. Lets the Glauber move gather only
+    the <= max_deg constraining adjacency rows instead of all k (for a
+    path motif max_deg = 2 regardless of arm length — a 10x row-gather
+    cut on the reference main()'s 21-node motif)."""
+    Bsym = np.asarray((np.asarray(B) + np.asarray(B).T) > 0)
+    k = Bsym.shape[0]
+    deg = Bsym.sum(axis=1).astype(int)
+    tbl = np.full((k, max(int(deg.max()), 1)), -1, np.int32)
+    for i in range(k):
+        js = np.flatnonzero(Bsym[i])
+        tbl[i, :len(js)] = js
+    return tbl
+
+
 def glauber_update(key: jax.Array, B: np.ndarray, parents: tuple[int, ...],
                    g: Graph, emb: jax.Array) -> jax.Array:
     """One Glauber move: pick a uniform motif node j and resample its
     image uniformly from the common neighbors of the images of j's motif
     neighbors (``glauber_gen_update``,
-    ``network_reconstruction_nx.py:136-173``)."""
+    ``network_reconstruction_nx.py:136-173``).
+
+    Ensemble-scale design (docs/DESIGN.md §4): only the images of j's
+    motif NEIGHBORS constrain the draw, so exactly ``max_deg`` adjacency
+    rows are gathered (static table, padding rows read row 0 and are
+    masked to all-True); for a :class:`BitsetGraph` the common-neighbor
+    intersection is computed on the PACKED words (bitwise AND +
+    popcount) and the winner located by rank-select — the (N,)-wide
+    boolean row per chain is never materialized, and no per-node random
+    bits are drawn."""
     k = emb.shape[0]
     if k == 1:
         # single-node motif behaves as the MH walk (reference :144-153)
         return emb.at[0].set(rw_update(key, g, emb[0]))
     kj, ks = jax.random.split(key)
     j = jax.random.randint(kj, (), 0, k)
-    Bj = jnp.asarray((B + B.T) > 0)          # motif neighbor indicator
-    sel = Bj[j]                               # (k,) which motif nodes constrain j
-    rows = _adj_rows(g, emb)                  # (k, N) adjacency rows of images
-    cmn = jnp.all(jnp.logical_or(rows, jnp.logical_not(sel)[:, None]), axis=0)
-    y = _uniform_from_mask(ks, cmn)
+    tbl = jnp.asarray(_motif_neighbor_table(B))      # (k, max_deg) static
+    sel_idx = tbl[j]                                  # (max_deg,)
+    valid = sel_idx >= 0
+    imgs = emb[jnp.maximum(sel_idx, 0)]               # images of constraints
+    if isinstance(g, BitsetGraph):
+        n = g.num_nodes
+        words = g.bits[imgs]                          # (max_deg, W32)
+        # padding rows impose no constraint: all-ones
+        words = jnp.where(valid[:, None], words, jnp.uint32(0xFFFFFFFF))
+        cmn = words[0]
+        for t in range(1, words.shape[0]):            # static, max_deg tiny
+            cmn = cmn & words[t]
+        # mask tail bits beyond n (static per-word mask)
+        W32 = g.bits.shape[1]
+        word_mask = np.zeros(W32, np.uint32)
+        word_mask[:n // 32] = 0xFFFFFFFF
+        if n % 32:
+            word_mask[n // 32] = (1 << (n % 32)) - 1
+        cmn = cmn & jnp.asarray(word_mask)
+        y = _select_uniform_bit(ks, cmn, n)
+    else:
+        rows = g.adj[imgs]                            # (max_deg, N)
+        rows = jnp.logical_or(rows, jnp.logical_not(valid)[:, None])
+        cmn = jnp.all(rows, axis=0)
+        y = _uniform_from_mask(ks, cmn)
     return emb.at[j].set(y.astype(jnp.int32))
 
 

@@ -235,3 +235,81 @@ def test_bitset_loader_on_reference_facebook():
     assert g.num_nodes == 4039
     assert g.num_edges == 88234
     assert g.bits.shape == (4039, (4039 + 31) // 32)
+
+
+def test_select_uniform_bit_law():
+    """Packed rank-select draw: uniform over set bits across word
+    boundaries; uniform over [0, n) on an empty mask."""
+    from onmf_ontf_ndl_tpu.samplers.motif import _select_uniform_bit
+
+    n = 100                                   # spans 4 uint32 words
+    set_bits = [0, 31, 32, 33, 64, 97]
+    words = np.zeros(4, np.uint32)
+    for b in set_bits:
+        words[b // 32] |= np.uint32(1) << (b % 32)
+    reps = 30000
+    outs = jax.vmap(lambda k: _select_uniform_bit(k, jnp.asarray(words), n))(
+        jax.random.split(jax.random.key(5), reps))
+    counts = np.bincount(np.asarray(outs), minlength=n)
+    assert set(np.flatnonzero(counts)) == set(set_bits)
+    freq = counts[set_bits] / reps
+    np.testing.assert_allclose(freq, 1.0 / len(set_bits), atol=0.01)
+
+    # empty mask -> uniform over [0, n)
+    outs = jax.vmap(lambda k: _select_uniform_bit(
+        k, jnp.zeros(4, jnp.uint32), n))(
+        jax.random.split(jax.random.key(6), 5000))
+    o = np.asarray(outs)
+    assert o.min() >= 0 and o.max() < n and len(np.unique(o)) > 50
+
+
+def test_motif_neighbor_table_path():
+    """For a path motif every node has <= 2 motif neighbors regardless of
+    arm length — the static table the Glauber move gathers rows by."""
+    from onmf_ontf_ndl_tpu.samplers.motif import _motif_neighbor_table
+
+    tbl = _motif_neighbor_table(path_adj(0, 20))
+    assert tbl.shape == (21, 2)
+    Bsym = (path_adj(0, 20) + path_adj(0, 20).T) > 0
+    for i in range(21):
+        want = set(np.flatnonzero(Bsym[i]))
+        got = set(int(v) for v in tbl[i] if v >= 0)
+        assert got == want
+
+
+def test_glauber_law_long_motif():
+    """One-step conditional law on a 5-node path motif (multi-row
+    constraint sets exercised through the neighbor-table gather)."""
+    g = torus_graph(5)
+    adj = np.asarray(g.adj)
+    n = g.num_nodes
+    B = path_adj(0, 4)
+    parents = tree_parents(B)
+    emb0 = np.asarray(
+        tree_sample(jax.random.key(8), parents, g, jnp.int32(7)))
+    k = B.shape[0]
+    Bsym = (B + B.T) > 0
+
+    want = {}
+    for j in range(k):
+        mask = np.ones(n, bool)
+        for r in range(k):
+            if Bsym[r, j]:
+                mask &= adj[emb0[r]]
+        support = np.flatnonzero(mask) if mask.any() else np.arange(n)
+        for y in support:
+            e = emb0.copy()
+            e[j] = y
+            want[tuple(e)] = want.get(tuple(e), 0.0) + 1.0 / (k * len(support))
+
+    reps = 60000
+    outs = np.asarray(jax.vmap(
+        lambda kk: glauber_update(kk, B, parents, g, jnp.asarray(emb0))
+    )(jax.random.split(jax.random.key(9), reps)))
+    counts = {}
+    for row in outs:
+        counts[tuple(int(v) for v in row)] = \
+            counts.get(tuple(int(v) for v in row), 0) + 1
+    tv = 0.5 * sum(abs(counts.get(s, 0) / reps - p) for s, p in want.items())
+    tv += 0.5 * sum(c / reps for s, c in counts.items() if s not in want)
+    assert tv < 0.03, tv
