@@ -347,6 +347,7 @@ class NetworkReconstructor:
         batch_size: int = 10,
         k1: int = 1,
         k2: int = 2,
+        loc_avg_depth: int = 1,
         alpha: float | None = None,
         is_WAN: bool = False,
         is_glauber_dict: bool = True,
@@ -373,6 +374,10 @@ class NetworkReconstructor:
         self.sample_size = sample_size
         self.batch_size = batch_size
         self.k1, self.k2 = k1, k2
+        # stored-but-unused in the reference too ("keep it at 1",
+        # network_reconstruction_nx.py:20,33,564) — kept for
+        # constructor-surface parity, documented inert (PARITY.md C9)
+        self.loc_avg_depth = loc_avg_depth
         self.alpha = 0.0 if alpha is None else float(alpha)
         self.is_glauber_dict = is_glauber_dict
         self.is_glauber_recons = is_glauber_recons

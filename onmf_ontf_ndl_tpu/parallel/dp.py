@@ -108,14 +108,14 @@ def dp_onmf_step(
 
 @functools.lru_cache(maxsize=64)
 def _dp_train_fn(mesh, iterations, batch_size, sub_iter, dict_from, axis,
-                 backend, coder, use_stopping):
+                 backend, coder, use_stopping, sampling="iid"):
     def local(st, X_local, alpha, beta, sd):
         st, _, _ = _train_scan(
             st, X_local, jnp.zeros((st.r, X_local.shape[1]), X_local.dtype),
             alpha, beta, sd,
             iterations, batch_size, True, sub_iter,
             use_stopping, False, dict_from, backend=backend, psum_axis=axis,
-            coder=coder,
+            coder=coder, sampling=sampling,
         )
         return st
 
@@ -142,6 +142,7 @@ def dp_train_dict(
     axis: str = "dp",
     backend: str = "auto",
     coder: str = "bcd",
+    sampling: str = "iid",
 ):
     """Data-parallel ``train_dict``: every device subsamples its own
     ``batch_size_per_device`` columns from its shard each iteration;
@@ -155,6 +156,10 @@ def dp_train_dict(
     Pass a value to enable the reference early-stopping rule; under DP
     it is evaluated SHARD-LOCALLY (each shard's relative-change test
     sees only its columns), the per-shard analogue of the batched rule.
+
+    ``sampling="block"`` applies the TPU-native pool sampler (PARITY.md
+    deviation #12) shard-locally: each device permutes and block-slices
+    its own shard.
     """
     ndev = mesh.shape[axis]
     n = X.shape[1]
@@ -168,7 +173,7 @@ def dp_train_dict(
     train = _dp_train_fn(mesh, int(iterations), int(batch_size_per_device),
                          int(sub_iter), dict_from, axis,
                          resolve_backend(backend, use_stopping), coder,
-                         use_stopping)
+                         use_stopping, sampling)
     sd = jnp.asarray(stopping_diff if use_stopping else 0.0, X.dtype)
     return train(state, shard_batch(mesh, X, axis),
                  jnp.asarray(alpha, X.dtype), jnp.asarray(beta, X.dtype),

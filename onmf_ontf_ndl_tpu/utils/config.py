@@ -128,6 +128,8 @@ class NetworkConfig:
     batch_size: int = 20
     k1: int = 0
     k2: int = 20
+    # inert in the reference too ("keep it at 1"); ctor-surface parity
+    loc_avg_depth: int = 1
     alpha: float | None = 1.0
     is_WAN: bool = False
     is_glauber_dict: bool = True
@@ -164,7 +166,8 @@ class NetworkConfig:
                 MCMC_iterations=self.MCMC_iterations,
                 sub_iterations=self.sub_iterations,
                 sample_size=self.sample_size, batch_size=self.batch_size,
-                k1=self.k1, k2=self.k2, alpha=self.alpha,
+                k1=self.k1, k2=self.k2, loc_avg_depth=self.loc_avg_depth,
+                alpha=self.alpha,
                 is_glauber_dict=self.is_glauber_dict,
                 is_glauber_recons=self.is_glauber_recons,
                 fast=self.fast, num_chains=self.num_chains, seed=self.seed, coder=self.coder,
@@ -180,7 +183,8 @@ class NetworkConfig:
             MCMC_iterations=self.MCMC_iterations,
             sub_iterations=self.sub_iterations,
             sample_size=self.sample_size, batch_size=self.batch_size,
-            k1=self.k1, k2=self.k2, alpha=self.alpha,
+            k1=self.k1, k2=self.k2, loc_avg_depth=self.loc_avg_depth,
+            alpha=self.alpha,
             weighted_patches=self.weighted_patches,
             is_glauber_dict=self.is_glauber_dict,
             is_glauber_recons=self.is_glauber_recons,

@@ -230,3 +230,24 @@ def test_dp_ndl_train_bitset_graph():
     assert (W >= 0).all() and np.isfinite(W).all()
     assert code.shape == (4, 16 * ndev)
     assert emb.shape == (ndev, k)
+
+
+def test_dp_train_dict_block_sampling():
+    """The TPU-native block sampler works shard-locally under DP
+    (PARITY.md deviation #12): valid replicated result, deterministic."""
+    mesh = make_mesh({"dp": 8})
+    d, r, n = 20, 5, 80
+    st = init_state(jax.random.key(4), d, r, dtype=jnp.float64)
+    X = jnp.asarray(RNG.random((d, n)))
+    run = lambda: dp_train_dict(mesh, st, X, iterations=6,
+                                batch_size_per_device=4, sampling="block")
+    st2 = run()
+    W = np.asarray(st2.W)
+    assert (W >= 0).all() and np.isfinite(W).all()
+    assert (np.linalg.norm(W, axis=0) <= 1 + 1e-9).all()
+    assert float(st2.t) == 6.0
+    shards = [np.asarray(sh.data) for sh in st2.A.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(sh, shards[0])
+    st3 = run()
+    np.testing.assert_array_equal(np.asarray(st2.W), np.asarray(st3.W))
