@@ -129,11 +129,12 @@ def measure_tpu(batch, stop, coder="bcd", sampling="block"):
     from onmf_ontf_ndl_tpu.models.state import init_state
     from onmf_ontf_ndl_tpu.models.onmf import train_dict
 
-    # constant ~16M patches per timed run: the remote tunnel costs
-    # ~tens of ms PER JIT CALL (measured: a trivial 100-step scan reads
-    # as 280 us/step, a 10000-step one as 2.7 us/step), so short runs
-    # under-report steady-state throughput by 2x at large batches
-    iters = max(200, 16_000_000 // batch)
+    # >= 400 steps per timed run: the remote tunnel costs ~tens of ms
+    # PER JIT CALL (measured: a trivial 100-step scan reads as
+    # 280 us/step, a 10000-step one as 2.7 us/step), so short runs
+    # under-report steady-state throughput; at the widest batches the
+    # floor (not the 16M-patch budget) sets the step count
+    iters = max(400, 16_000_000 // batch)
     pool = jax.random.uniform(jax.random.key(1), (D, 8192))
     state = init_state(jax.random.key(0), D, R)
 

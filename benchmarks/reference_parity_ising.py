@@ -37,6 +37,11 @@ import time
 
 import numpy as np
 
+# refstubs lives next to this file: resolves when run as a script
+# (script dir is sys.path[0]) and when the e2e tests import this module
+# with benchmarks/ temporarily on sys.path (cached for later calls).
+import refstubs
+
 REF = "/root/reference"
 N = 64              # lattice side
 RANK = 25
@@ -62,11 +67,6 @@ def extract_random_patches(data, k, num):
 
 def make_lattice():
     """Shared burned-in lattice from the reference's own sampler."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    try:
-        import refstubs
-    finally:
-        sys.path.remove(os.path.dirname(os.path.abspath(__file__)))
     refstubs.install_stubs()
     sys.path.insert(0, REF)
     try:

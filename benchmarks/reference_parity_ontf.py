@@ -42,15 +42,17 @@ DOWNSCALE = 8
 STRIDE = 3          # recons_resolution
 
 
+# refstubs lives next to this file, so it resolves both when run as a
+# script (script dir is sys.path[0]) and when the e2e tests import this
+# module with benchmarks/ temporarily on sys.path; importing at module
+# level caches it for calls made after the tests pop the path again.
+import refstubs
+
+
 def _install_stubs():
     """src/ontf.py imports tensorly + progressbar (absent here); the
     shared installer in ``refstubs.py`` provides real ``unfold``
     semantics and a callable ProgressBar."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    try:
-        import refstubs
-    finally:
-        sys.path.remove(os.path.dirname(os.path.abspath(__file__)))
     refstubs.install_stubs()
 
 

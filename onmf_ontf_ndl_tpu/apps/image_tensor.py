@@ -154,25 +154,16 @@ class ImageReconstructorTensor:
         self.alpha = 2.0 if alpha is None else float(alpha)
         self.beta = 1.0 if beta is None else float(beta)
         self.fast = fast
-        # The reference's tensor coder is sklearn lasso_lars — an EXACT
-        # solve of 0.5|x-Wh|^2 + alpha|h|_1, h>=0 — in BOTH training
-        # (src/ontf.py:80-86) and reconstruction
-        # (image_reconstruction_tensor.py:309-312); its block_iterations
-        # knob is stored but never used by src/ontf.py (:47). The default
-        # coder="exact" therefore solves the same objective to
-        # convergence (accelerated projected gradient, >=100 sweeps —
-        # measured e2e recon gap vs the reference's LARS pipeline: 0.7%,
-        # benchmarks/reference_parity_ontf.py). "bcd" (the ONMF apps'
-        # reference-semantics sweeps) and "fista" remain selectable; for
-        # those the sweep floor is 30 so the reference configs' tiny
-        # block_iterations don't cripple coding quality (SURVEY.md §7
-        # hard-part b).
         self.coder = coder
-        self._coder_method = "fista" if coder == "exact" else coder
-        floor = 100 if coder == "exact" else 30
-        self.coder_sub_iter = (int(coder_sub_iter)
-                               if coder_sub_iter is not None
-                               else max(int(block_iterations), floor))
+        # ONTF-surface coder policy (exact-by-default — the reference's
+        # tensor coder is an exact sklearn LARS solve in BOTH training
+        # and reconstruction, image_reconstruction_tensor.py:309-312;
+        # measured default-path e2e recon gap 0.7%,
+        # benchmarks/reference_parity_ontf.py): see resolve_tensor_coder
+        from onmf_ontf_ndl_tpu.models.ontf import resolve_tensor_coder
+
+        self._coder_method, self.coder_sub_iter = resolve_tensor_coder(
+            coder, block_iterations, coder_sub_iter)
         self.seed = seed
         self.dtype = dtype
         self.state = None

@@ -323,13 +323,46 @@ def reconstruct_network_sparse(
 @jax.jit
 def _pack_recon_edges(ii, jj, mean, cnt, n):
     """Pack kept directed recon pairs into sorted uint32 ``i*n + j``
-    keys (exact for n <= 65536); non-kept slots become the all-ones
-    sentinel and sort to the tail. Returns ``(sorted_keys, n_keep)``."""
+    keys; non-kept slots become the all-ones sentinel and sort to the
+    tail. Returns ``(sorted_keys, n_keep)``.
+
+    EXACT only for ``n <= 65536`` (``i*n + j`` wraps mod 2^32 beyond
+    that, silently corrupting edges) — the caller must branch to the
+    prefix-fetch path for larger graphs."""
     keep = (cnt > 0) & (jnp.round(mean) > 0)
     key32 = (ii.astype(jnp.uint32) * jnp.asarray(n, jnp.uint32)
              + jj.astype(jnp.uint32))
     packed = jnp.where(keep, key32, jnp.uint32(0xFFFFFFFF))
     return jnp.sort(packed), jnp.sum(keep)
+
+
+def _edges_from_sparse_result(ii, jj, mean, cnt, n):
+    """Host-side simple-graph edges from a `reconstruct_network_sparse`
+    result, minimizing host-link bytes.
+
+    For n <= 65536: ship ONE packed uint32 array — on device, keep the
+    pairs whose rounded mean is an edge, pack (i, j) into i*n+j, sort so
+    the kept keys occupy a prefix, fetch the kept-count scalar, then
+    ship only that prefix (~1/4 the bytes of the three-array prefix
+    fetch over the ~MB/s axon host link). The all-ones sentinel can only
+    collide with the (n-1, n-1) self-pair, which the simple-graph filter
+    drops anyway. Beyond 65536 nodes i*n+j wraps mod 2^32, so fall back
+    to prefix-fetching the index and mean arrays (real segments occupy a
+    contiguous prefix because segment ids are a cumsum; every prefix
+    segment has cnt >= 1 by construction)."""
+    if n <= 65536:
+        packed, n_keep = _pack_recon_edges(ii, jj, mean, cnt, n)
+        pk = np.asarray(packed[:int(n_keep)]).astype(np.int64)
+        pi, pj = pk // n, pk % n
+    else:
+        n_seg = int(jnp.sum(cnt > 0))
+        pi = np.asarray(ii[:n_seg]).astype(np.int64)
+        pj = np.asarray(jj[:n_seg]).astype(np.int64)
+        keep = np.round(np.asarray(mean[:n_seg])) > 0
+        pi, pj = pi[keep], pj[keep]
+    lo, hi = np.minimum(pi, pj), np.maximum(pi, pj)
+    off_diag = lo != hi
+    return np.unique(np.stack([lo[off_diag], hi[off_diag]], axis=1), axis=0)
 
 
 class NetworkReconstructor:
@@ -554,23 +587,8 @@ class NetworkReconstructor:
             weighted=self.weighted_patches, num_chains=num_chains,
             method=self.coder,
         )
-        # ship ONE packed uint32 array instead of three prefix arrays:
-        # on device, keep the pairs whose rounded mean is an edge, pack
-        # (i, j) into i*N+j (exact for N <= 65536, the BitsetGraph
-        # bound), sort so the kept keys occupy a prefix, fetch the
-        # kept-count scalar, then ship only that prefix — ~1/4 the bytes
-        # of the previous (ii, jj, mean) prefix fetch over the ~MB/s
-        # axon host link. The all-ones sentinel can only collide with
-        # the (N-1, N-1) self-pair, which the simple-graph filter drops
-        # anyway.
-        packed, n_keep = _pack_recon_edges(ii, jj, mean, cnt,
-                                           self.G.num_nodes)
-        pk = np.asarray(packed[:int(n_keep)]).astype(np.int64)
-        pi, pj = pk // self.G.num_nodes, pk % self.G.num_nodes
-        lo, hi = np.minimum(pi, pj), np.maximum(pi, pj)
-        off_diag = lo != hi
-        edges = np.unique(np.stack([lo[off_diag], hi[off_diag]], axis=1),
-                          axis=0)
+        edges = _edges_from_sparse_result(ii, jj, mean, cnt,
+                                          self.G.num_nodes)
         self.recon_weights = None
         self.G_recons = None
         self.G_recons_edges = edges

@@ -36,7 +36,32 @@ from onmf_ontf_ndl_tpu.models.state import init_state
 from onmf_ontf_ndl_tpu.models.onmf import train_dict as _train_dict
 from onmf_ontf_ndl_tpu.ops.unfold import unfold
 
-__all__ = ["OnlineNTF"]
+__all__ = ["OnlineNTF", "resolve_tensor_coder"]
+
+
+def resolve_tensor_coder(coder: str, knob: int,
+                         coder_sub_iter: int | None) -> tuple[str, int]:
+    """The ONTF-surface coder policy (PARITY.md deviation #11), shared
+    by :class:`OnlineNTF` and ``ImageReconstructorTensor``.
+
+    The reference's tensor coder is an EXACT sklearn LARS solve
+    (``src/ontf.py:80-86``), and the driver knob threaded into the
+    sweep-count slot (``block_iterations``/``sub_iterations``, as low as
+    2-4 in the reference's own configs) is stored-but-unused there
+    (``src/ontf.py:47``). Default ``coder="exact"``: accelerated
+    projected gradient run to convergence (sweep floor 100) on the same
+    objective — the parity match for that exact solve. ``"bcd"`` /
+    ``"fista"`` remain selectable with a floor of 30 sweeps so the
+    reference configs' tiny knobs don't cripple coding quality
+    (SURVEY.md §7 hard-part b).
+
+    Returns ``(method, sub_iter)`` with ``method`` the underlying coder
+    implementation (``"exact"`` maps to ``"fista"``)."""
+    method = "fista" if coder == "exact" else coder
+    floor = 100 if coder == "exact" else 30
+    sub_iter = (int(coder_sub_iter) if coder_sub_iter is not None
+                else max(int(knob), floor))
+    return method, sub_iter
 
 
 class OnlineNTF:
@@ -82,21 +107,11 @@ class OnlineNTF:
         self.alpha = 2.0 if alpha is None else float(alpha)
         self.beta = 1.0 if beta is None else float(beta)
         self.subsample = subsample
-        # the reference's sklearn coder solves each lasso EXACTLY
-        # (src/ontf.py:80-86), and the driver knob threaded into this
-        # slot (block_iterations, as low as 2-4 in the reference's own
-        # configs) is stored-but-unused there (src/ontf.py:47). Default
-        # coder="exact": accelerated projected gradient run to
-        # convergence (>=100 sweeps) on the same objective — the parity
-        # match for that exact solve. "bcd"/"fista" remain selectable
-        # with a floor of 30 sweeps (same policy as
-        # ImageReconstructorTensor.coder_sub_iter).
         self.coder = coder
-        self._coder_method = "fista" if coder == "exact" else coder
-        floor = 100 if coder == "exact" else 30
-        self.coder_sub_iter = (int(coder_sub_iter)
-                               if coder_sub_iter is not None
-                               else max(int(sub_iterations), floor))
+        # ONTF-surface coder policy (exact-by-default, PARITY.md #11):
+        # see resolve_tensor_coder
+        self._coder_method, self.coder_sub_iter = resolve_tensor_coder(
+            coder, sub_iterations, coder_sub_iter)
         self.dtype = dtype
 
         X_unfold = unfold(self.X, mode)

@@ -224,3 +224,32 @@ def test_sparse_recon_shell_and_accuracy():
     assert (edges[:, 0] < edges[:, 1]).all()
     assert abs(acc_dense - acc_sparse) < 0.15
     assert acc_sparse > 0.5
+
+
+def test_edges_from_sparse_result_beyond_uint32_packing():
+    """Edge decode above the 65,536-node uint32-packing bound must take
+    the prefix-fetch path and decode exactly (the packed path would wrap
+    i*n+j mod 2^32 and fabricate phantom edges — review finding)."""
+    import jax.numpy as jnp
+    from onmf_ontf_ndl_tpu.apps.network import _edges_from_sparse_result
+
+    n = 70000
+    # segment-style result: real segments in a prefix, padding after
+    ii = jnp.asarray([69999, 69999, 123, 8643, 0, 0], jnp.int32)
+    jj = jnp.asarray([69999, 69998, 456, 22703, 0, 0], jnp.int32)
+    mean = jnp.asarray([1.0, 0.9, 0.2, 1.0, 0.0, 0.0])
+    cnt = jnp.asarray([2.0, 1.0, 3.0, 1.0, 0.0, 0.0])
+    edges = _edges_from_sparse_result(ii, jj, mean, cnt, n)
+    # kept: (69999,69999) self-pair dropped; (69998,69999) kept;
+    # (123,456) mean rounds to 0 -> dropped; (8643,22703) kept
+    np.testing.assert_array_equal(
+        edges, np.asarray([[8643, 22703], [69998, 69999]]))
+
+    # the packed path below the bound produces identical decisions
+    edges_small = _edges_from_sparse_result(
+        jnp.asarray([100, 5, 7, 0], jnp.int32),
+        jnp.asarray([200, 5, 3, 0], jnp.int32),
+        jnp.asarray([1.2, 1.0, 0.1, 0.0]),
+        jnp.asarray([1.0, 2.0, 1.0, 0.0]), 300)
+    np.testing.assert_array_equal(edges_small,
+                                  np.asarray([[100, 200]]))
