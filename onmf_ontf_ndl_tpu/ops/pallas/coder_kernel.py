@@ -285,9 +285,58 @@ def _lambda_max_warm(G, v, iters: int):
     return lam, v
 
 
+def _lambda_max_warm_pair(gw_ref, vb_ref, Gd, Gh, vd, vh, iters: int):
+    """Two warm power iterations fused into ONE matmul chain: the
+    stopping rule needs lambda_max of BOTH the delta Gram and the
+    iterate Gram every sweep, and running the two (R, R) x (R, 1)
+    chains separately doubles the sequential-latency depth that
+    dominates the early-stopping kernels (measured ~65 us per power
+    iteration per sweep at the bench shape). Per iteration, ONE
+    ``[Gd | Gh] (R, 2R) @ V (2R, 2)`` matmul advances both: V's column
+    0 holds vd in its top block, column 1 holds vh in its bottom block
+    (zeros elsewhere), so output column c is exactly ``G_c @ v_c``.
+    Each column is normalized separately; per-chain math is identical
+    to :func:`_lambda_max_warm`.
+
+    ``gw_ref`` (R, 2R) and ``vb_ref`` (2R, >=2) are VMEM scratch — the
+    block vectors are staged through refs because Mosaic cannot lower
+    sublane-axis concatenates of mismatched-offset vectors.
+
+    Returns ``(lam_d, lam_h, vd_final, vh_final)``."""
+    R = Gd.shape[0]
+    gw_ref[:, :R] = Gd
+    gw_ref[:, R:] = Gh
+    vb_ref[...] = jnp.zeros(vb_ref.shape, jnp.float32)
+    vb_ref[:R, 0:1] = vd
+    vb_ref[R:, 1:2] = vh
+    Gw = gw_ref[...]
+
+    def it(_, carry):
+        V = vb_ref[:, 0:2]                              # (2R, 2)
+        W = jax.lax.dot_general(Gw, V, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        nrm = jnp.sqrt(jnp.sum(W * W, axis=0, keepdims=True))
+        W = W / jnp.maximum(nrm, 1e-30)
+        vb_ref[:R, 0:1] = W[:, 0:1]
+        vb_ref[R:, 1:2] = W[:, 1:2]
+        return carry
+
+    jax.lax.fori_loop(0, iters, it, 0)
+    V = vb_ref[:, 0:2]
+    GV = jax.lax.dot_general(Gw, V, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    vd_f = vb_ref[:R, 0:1]
+    vh_f = vb_ref[R:, 1:2]
+    lam_d = (jnp.sum(vd_f * GV[:, 0:1])
+             / jnp.maximum(jnp.sum(vd_f * vd_f), 1e-30))
+    lam_h = (jnp.sum(vh_f * GV[:, 1:2])
+             / jnp.maximum(jnp.sum(vh_f * vh_f), 1e-30))
+    return lam_d, lam_h, vd_f, vh_f
+
+
 def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, acorr_ref, A_ref, B_ref,
-                     H0_ref, H_ref, Hold_ref, vs_ref, conv_ref, *, r,
-                     sub_iter, bk, pi_iters):
+                     H0_ref, H_ref, Hold_ref, vs_ref, conv_ref, gw_ref,
+                     vb_ref, *, r, sub_iter, bk, pi_iters):
     """Early-stopping sweeps on one (R, TN) tile of H.
 
     Reference semantics (``/root/reference/src/onmf.py:252-268``): run
@@ -329,10 +378,9 @@ def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, acorr_ref, A_ref, B_ref,
             # sweep's eigenvector could be near-orthogonal to an
             # abruptly-rotated delta (the blind spot the fixed start
             # avoids); the mix keeps warm-start speed without it
-            num, vd = _lambda_max_warm(
-                Gd, vs_ref[:, 0:1] + 0.05 * v0, pi_iters)
-            den, vh = _lambda_max_warm(
-                Gh, vs_ref[:, 1:2] + 0.05 * v0, pi_iters)
+            num, den, vd, vh = _lambda_max_warm_pair(
+                gw_ref, vb_ref, Gd, Gh, vs_ref[:, 0:1] + 0.05 * v0,
+                vs_ref[:, 1:2] + 0.05 * v0, pi_iters)
             vs_ref[:, 0:1] = vd
             vs_ref[:, 1:2] = vh
             # sigma(delta)^2 <= stop^2 * sigma(Hold)^2  <=>  rel <= stop
@@ -387,13 +435,15 @@ def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
             pltpu.VMEM((R, TN), f32),
             pltpu.VMEM((R, 128), f32),
             pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((R, 2 * R), f32),     # [Gd | Gh] staging
+            pltpu.VMEM((2 * R, 128), f32),   # block power-iter vectors
         ], interpret)
     return out[:r, :n].astype(B.dtype)
 
 
 def _fista_kernel(stop_ref, alpha_ref, invL_ref, A_ref, B_ref, H0_ref,
-                  H_ref, Y_ref, vs_ref, tmom_ref, conv_ref, *, sub_iter,
-                  use_stopping, pi_iters):
+                  H_ref, Y_ref, vs_ref, tmom_ref, conv_ref, gw_ref, vb_ref,
+                  *, sub_iter, use_stopping, pi_iters):
     """Fused FISTA sweeps on one (R, TN) tile (the ``coder="fista"``
     mode of ``models/onmf.py``; semantics of ``ops/coder.py::_fista_impl``).
 
@@ -446,10 +496,9 @@ def _fista_kernel(stop_ref, alpha_ref, invL_ref, A_ref, B_ref, H0_ref,
                 Gh = jax.lax.dot_general(
                     H, H, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                num, vd = _lambda_max_warm(
-                    Gd, vs_ref[:, 0:1] + 0.05 * v0, pi_iters)
-                den, vh = _lambda_max_warm(
-                    Gh, vs_ref[:, 1:2] + 0.05 * v0, pi_iters)
+                num, den, vd, vh = _lambda_max_warm_pair(
+                    gw_ref, vb_ref, Gd, Gh, vs_ref[:, 0:1] + 0.05 * v0,
+                    vs_ref[:, 1:2] + 0.05 * v0, pi_iters)
                 vs_ref[:, 0:1] = vd
                 vs_ref[:, 1:2] = vh
                 conv_ref[0] = (num <= stop2 * den).astype(jnp.int32)
@@ -502,6 +551,8 @@ def fista_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
             pltpu.VMEM((R, 128), f32),
             pltpu.SMEM((1,), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((R, 2 * R), f32),     # [Gd | Gh] staging
+            pltpu.VMEM((2 * R, 128), f32),   # block power-iter vectors
         ], interpret)
     return out[:r, :n].astype(B.dtype)
 
