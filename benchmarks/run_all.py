@@ -288,9 +288,14 @@ def main():
                     help="record file (default results.json; use "
                          "results_reference_semantics.json for the "
                          "--reference-semantics standing record)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substrings: refresh only the "
+                         "matching record keys (e.g. --only arxiv,video); "
+                         "other standing records are left untouched")
     args = ap.parse_args()
 
-    results = {"fast_mode": args.fast}
+    only = [s for s in (args.only or "").split(",") if s]
+    results = {} if only else {"fast_mode": args.fast}
     for name, fn in [
         ("image_grayscale_onmf", lambda: bench_image(args.data, args.fast)),
         ("color_ontf_joint", lambda: bench_tensor(args.data, args.fast)),
@@ -302,6 +307,8 @@ def main():
          lambda: bench_facebook(args.data, args.fast)),
         ("streaming_video", lambda: bench_video(args.data, args.fast)),
     ]:
+        if only and not any(s in name for s in only):
+            continue
         try:
             results[name] = fn()
             print(f"{name}: {results[name]}", file=sys.stderr, flush=True)

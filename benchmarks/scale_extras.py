@@ -69,7 +69,9 @@ def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096):
           file=sys.stderr)
     return {"nodes": int(g.num_nodes), "edges": int(g.num_edges),
             "load_s": round(t_load, 2), "train_s": round(t_train, 2),
-            "recon_s": round(t_rec, 2), "recons_accuracy": round(acc, 4)}
+            "recon_s": round(t_rec, 2), "recons_accuracy": round(acc, 4),
+            "recon_samples_m": round(recons_iter / 1e6, 1),
+            "recon_chains": num_chains}
 
 
 def soak_500k():
@@ -162,9 +164,12 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--side", type=int, default=180,
-                    help="torus side (256 = the 65,536-node BitsetGraph "
-                         "boundary; ships side^2/8 bytes over the host "
-                         "link)")
+                    help="torus side (256 = the 65,536-node packed-key "
+                         "host-fetch boundary; ships side^2/8 bytes over "
+                         "the host link)")
+    ap.add_argument("--torus-only", action="store_true",
+                    help="record only the torus point (skip re-measuring "
+                         "serving/soak)")
     args = ap.parse_args()
     results = {}
     if os.path.exists(OUT):
@@ -178,11 +183,13 @@ def main():
         f"torus_{args.side * args.side}_scale_ndl")
     # each section records independently: a late failure must not lose
     # the earlier (long) measurements
-    for name, fn in ((key, lambda: big_torus_ndl(
-                         args.side, recons_iter=int(1_200_000 * scale),
-                         num_chains=4096 if args.side <= 180 else 8192)),
-                     ("serving_throughput", serving_throughput),
-                     ("soak_500k_steps", soak_500k)):
+    sections = [(key, lambda: big_torus_ndl(
+        args.side, recons_iter=int(1_200_000 * scale),
+        num_chains=4096 if args.side <= 180 else 8192))]
+    if not args.torus_only:
+        sections += [("serving_throughput", serving_throughput),
+                     ("soak_500k_steps", soak_500k)]
+    for name, fn in sections:
         try:
             results[name] = fn()
         except Exception as e:          # noqa: BLE001 — record and go on

@@ -39,7 +39,7 @@ from onmf_ontf_ndl_tpu.models.onmf import _train_scan
 from onmf_ontf_ndl_tpu.models.state import OnmfState, init_state
 from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
 from onmf_ontf_ndl_tpu.samplers.motif import (
-    _pair_matrix,
+    pair_matrices_T,
     _sample_patches,
     _sample_patches_ensemble_impl,
     glauber_update,
@@ -181,14 +181,16 @@ def reconstruct_network(
     wall-clock of a long reconstruction chain (the reference runs one
     chain for up to 1e5 steps, ``network_reconstruction_nx.py:601``).
     """
-    embs, vals = _recon_sample_vals(
+    embs, vals_T = _recon_sample_vals(
         W, g, key, B_bytes, parents, recons_iter, alpha, sub_iter,
         use_glauber, weighted, num_chains, method)
     recons_iter, k = embs.shape
 
     n = g.num_nodes
-    rows = embs[:, :, None] * jnp.ones((1, 1, k), jnp.int32)
-    cols = embs[:, None, :] * jnp.ones((1, k, 1), jnp.int32)
+    eT = embs.T                                       # (k, M)
+    rows = jnp.broadcast_to(eT[:, None, :], (k, k, recons_iter))
+    cols = jnp.broadcast_to(eT[None, :, :], (k, k, recons_iter))
+    vals = vals_T.reshape(k, k, recons_iter)
     acc = jnp.zeros((n, n), W.dtype).at[rows, cols].add(vals)
     cnt = jnp.zeros((n, n), W.dtype).at[rows, cols].add(1.0)
     recon = acc / jnp.maximum(cnt, 1.0)
@@ -201,8 +203,14 @@ def _recon_sample_vals(W, g, key, B_bytes, parents, recons_iter, alpha,
     """Shared reconstruction front half: chain-sample ``recons_iter``
     embeddings, batch-code their patches, return the painted values.
 
-    Returns ``(embs (M, k) int32, vals (M, k, k))`` with
-    ``M = recons_iter`` rounded up to a multiple of ``num_chains``.
+    Returns ``(embs (M, k) int32, vals_T (k*k, M))`` with
+    ``M = recons_iter`` rounded up to a multiple of ``num_chains``;
+    ``vals_T[q*k + r, m]`` is the painted value of pair ``(q, r)`` in
+    sample ``m``. The sample axis stays MINOR end to end (patch gather,
+    coding, W @ H): the per-sample (k, k) layout pads every intermediate
+    to full tile extents — a measured 57x HBM expansion that OOMed the
+    129,600-node torus reconstruction (see
+    ``samplers/motif.py::pair_matrices_T``).
     """
     k = len(parents) + 1
     ck, hk = jax.random.split(key)
@@ -230,21 +238,15 @@ def _recon_sample_vals(W, g, key, B_bytes, parents, recons_iter, alpha,
         jax.random.split(ck, chains), emb0s)          # (C, per, k)
     embs = embs.reshape(chains * per, k)
 
-    if weighted:
-        if getattr(g, "weight", None) is None:
-            raise ValueError("weighted reconstruction needs a weighted Graph")
-        X = g.weight[embs[:, :, None], embs[:, None, :]].reshape(
-            recons_iter, k * k).astype(W.dtype).T
-    else:
-        X = jax.vmap(lambda e: _pair_matrix(g, e))(embs).reshape(
-            recons_iter, k * k).astype(W.dtype).T
+    if weighted and getattr(g, "weight", None) is None:
+        raise ValueError("weighted reconstruction needs a weighted Graph")
+    X = pair_matrices_T(g, embs, weighted=weighted).astype(W.dtype)
 
     # fixed sweeps (no spectral-norm stopping): routes to the Pallas
     # kernel on TPU and avoids the SVD-in-while_loop cost at recon widths
     H = nonneg_code(X, W, key=hk, alpha=alpha, sub_iter=sub_iter,
                     stopping_diff=None, method=method)
-    vals = (W @ H).T.reshape(recons_iter, k, k)
-    return embs, vals
+    return embs, W @ H
 
 
 @functools.partial(
@@ -288,14 +290,19 @@ def reconstruct_network_sparse(
     ``(ii, jj)``; slots with ``cnt == 0`` are padding. The rounded simple
     graph consists of pairs with ``round(mean) > 0``.
     """
-    embs, vals = _recon_sample_vals(
+    embs, vals_T = _recon_sample_vals(
         W, g, key, B_bytes, parents, recons_iter, alpha, sub_iter,
         use_glauber, weighted, num_chains, method)
     M, k = embs.shape
 
-    ii = jnp.broadcast_to(embs[:, :, None], (M, k, k)).reshape(-1)
-    jj = jnp.broadcast_to(embs[:, None, :], (M, k, k)).reshape(-1)
-    vv = vals.reshape(-1)
+    # pair-major flat order (q, r, m) — matches vals_T's (k*k, M) layout
+    # elementwise, and the grouping below is order-agnostic; the
+    # sample-major (M, k, k) form would materialize tiny-minor-dim
+    # intermediates that XLA pads ~43x (see _recon_sample_vals)
+    eT = embs.T                                       # (k, M)
+    ii = jnp.broadcast_to(eT[:, None, :], (k, k, M)).reshape(-1)
+    jj = jnp.broadcast_to(eT[None, :, :], (k, k, M)).reshape(-1)
+    vv = vals_T.reshape(-1)
     total = M * k * k
 
     # group by (i, j): one 32-bit fused-key argsort when i*N+j fits int32

@@ -110,6 +110,42 @@ def _pair_matrix(g, emb: jax.Array) -> jax.Array:
     return g.adj[emb[:, None], emb[None, :]].astype(jnp.float32)
 
 
+def pair_matrices_T(g, embs: jax.Array, *,
+                    weighted: bool = False) -> jax.Array:
+    """Flattened pair matrices for a BATCH of embeddings, transposed:
+    ``(k*k, M)`` with entry ``(q*k + r, m) = patch value of pair (q, r)
+    in sample m`` — identical values/order to
+    ``vmap(_pair_matrix)(embs).reshape(M, k*k).T``.
+
+    The batch axis is kept MINOR throughout, and every gather is a 1-D
+    linear-index ``take``. The vmapped form builds gather index tensors
+    whose minor dims are (k, k); XLA pads those to full register/tile
+    extents — measured 43-57x HBM expansion at reconstruction scale
+    (a 165 MB unpadded index tensor padded to 9.2 GB OOMed the
+    129,600-node torus reconstruction). Here every intermediate is
+    (k, k, M) or (k*k, M) with M minor, i.e. tile-dense.
+    """
+    M, k = embs.shape
+    eT = embs.T.astype(jnp.int32)                    # (k, M)
+    row = eT[:, None, :]                             # (k, 1, M)
+    col = eT[None, :, :]                             # (1, k, M)
+    if weighted:
+        if getattr(g, "weight", None) is None:
+            raise ValueError("weighted patches need a weighted Graph")
+        lin = (row * g.weight.shape[1] + col).reshape(k * k, M)
+        return jnp.take(g.weight.reshape(-1), lin, axis=0).astype(
+            jnp.float32)
+    if isinstance(g, BitsetGraph):
+        w32 = g.bits.shape[1]
+        widx = (row * w32 + col // 32).reshape(k * k, M)
+        words = jnp.take(g.bits.reshape(-1), widx, axis=0)
+        shift = jnp.broadcast_to(col, (k, k, M)).reshape(
+            k * k, M).astype(jnp.uint32) % 32
+        return ((words >> shift) & jnp.uint32(1)).astype(jnp.float32)
+    lin = (row * g.adj.shape[1] + col).reshape(k * k, M)
+    return jnp.take(g.adj.reshape(-1), lin, axis=0).astype(jnp.float32)
+
+
 def _uniform_from_mask(key: jax.Array, mask: jax.Array) -> jax.Array:
     """Uniform draw from the True entries of a boolean vector; uniform
     over all indices when the mask is empty (the reference's rejected

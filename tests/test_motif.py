@@ -313,3 +313,36 @@ def test_glauber_law_long_motif():
     tv = 0.5 * sum(abs(counts.get(s, 0) / reps - p) for s, p in want.items())
     tv += 0.5 * sum(c / reps for s, c in counts.items() if s not in want)
     assert tv < 0.03, tv
+
+
+def test_pair_matrices_T_matches_vmapped_single():
+    """pair_matrices_T (batch-minor layout, 1-D linear gathers) must
+    equal the vmapped per-sample _pair_matrix on every representation:
+    it exists purely to avoid the tiny-minor-dim padding blowup of the
+    vmapped gather (57x HBM expansion at reconstruction scale)."""
+    from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
+    from onmf_ontf_ndl_tpu.samplers.motif import (
+        _pair_matrix, pair_matrices_T)
+
+    rng = np.random.default_rng(23)
+    edges = np.asarray([(int(a), int(b))
+                        for a, b in rng.integers(0, 40, (150, 2)) if a != b])
+    g = graph_from_edgelist(edges)
+    bg = bitset_graph_from_edges(edges)   # same interning order
+    M, k = 37, 3
+    embs = jax.random.randint(jax.random.key(3), (M, k), 0, g.num_nodes)
+    want = np.stack([np.asarray(_pair_matrix(g, e)) for e in embs])
+    got = np.asarray(pair_matrices_T(g, embs))
+    assert got.shape == (k * k, M)
+    np.testing.assert_array_equal(got, want.reshape(M, k * k).T)
+
+    got_b = np.asarray(pair_matrices_T(bg, embs))
+    np.testing.assert_array_equal(got_b, want.reshape(M, k * k).T)
+
+    # weighted: matches the dense weight-matrix gather elementwise
+    A = np.asarray(g.adj, np.float64) * 2.0
+    gw = graph_from_adjacency(A, normalize=True)
+    got_w = np.asarray(pair_matrices_T(gw, embs, weighted=True))
+    wantw = np.asarray(gw.weight)[np.asarray(embs)[:, :, None],
+                                  np.asarray(embs)[:, None, :]]
+    np.testing.assert_allclose(got_w, wantw.reshape(M, k * k).T, rtol=1e-6)
