@@ -696,8 +696,11 @@ class NetworkReconstructor:
         i = np.asarray(i)
         j = np.asarray(j)
         if isinstance(self.G, BitsetGraph):
-            words = np.asarray(self.G.bits[jnp.asarray(i),
-                                           jnp.asarray(j // 32)])
+            lin = jnp.asarray(
+                i.astype(np.uint32) * np.uint32(self.G.words_per_row)
+                + (j // 32).astype(np.uint32))
+            words = np.asarray(jnp.take(self.G.bits_flat, lin, axis=0,
+                                        mode="clip"))
             return ((words >> (j % 32).astype(np.uint32)) & 1).astype(bool)
         return np.asarray(self.G.adj[jnp.asarray(i), jnp.asarray(j)])
 

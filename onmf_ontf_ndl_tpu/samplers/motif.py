@@ -88,12 +88,23 @@ def _uniform_neighbor(key: jax.Array, g, x: jax.Array) -> jax.Array:
     return jnp.where(d > 0, y, x)
 
 
+def _bitset_rows(g, idx: jax.Array) -> jax.Array:
+    """(len(idx), W32) packed adjacency rows gathered straight from the
+    canonical FLAT bitset via vmapped ``dynamic_slice`` (one strided
+    gather). Never forms a 2-D view: an on-device reshape of the
+    (N*W32,) array is a full relayout copy — 8 GB at the 512^2-torus
+    scale."""
+    w32 = g.words_per_row
+    return jax.vmap(lambda i: jax.lax.dynamic_slice(
+        g.bits_flat, (i.astype(jnp.uint32) * jnp.uint32(w32),), (w32,)))(idx)
+
+
 def _adj_rows(g, emb: jax.Array) -> jax.Array:
     """(k, N) boolean adjacency rows of the embedded nodes, for either
     graph representation (bitset rows are unpacked on the fly)."""
     if isinstance(g, BitsetGraph):
         n = g.num_nodes
-        words = g.bits[emb]                        # (k, W32)
+        words = _bitset_rows(g, emb)               # (k, W32)
         shifts = jnp.arange(32, dtype=jnp.uint32)
         bools = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
         return bools.reshape(emb.shape[0], -1)[:, :n].astype(bool)
@@ -103,9 +114,11 @@ def _adj_rows(g, emb: jax.Array) -> jax.Array:
 def _pair_matrix(g, emb: jax.Array) -> jax.Array:
     """(k, k) float edge-indicator matrix among the embedded nodes."""
     if isinstance(g, BitsetGraph):
-        cols = emb[None, :]
-        words = g.bits[emb[:, None], cols // 32]
-        bit = (words >> cols.astype(jnp.uint32) % 32) & jnp.uint32(1)
+        cols = emb[None, :].astype(jnp.uint32)
+        lin = (emb[:, None].astype(jnp.uint32)
+               * jnp.uint32(g.words_per_row) + cols // 32)
+        words = jnp.take(g.bits_flat, lin, axis=0, mode="clip")
+        bit = (words >> cols % 32) & jnp.uint32(1)
         return bit.astype(jnp.float32)
     return g.adj[emb[:, None], emb[None, :]].astype(jnp.float32)
 
@@ -124,26 +137,40 @@ def pair_matrices_T(g, embs: jax.Array, *,
     (a 165 MB unpadded index tensor padded to 9.2 GB OOMed the
     129,600-node torus reconstruction). Here every intermediate is
     (k, k, M) or (k*k, M) with M minor, i.e. tile-dense.
+
+    Linear indices are computed in uint32 and gathered with
+    ``mode="clip"`` (a no-op — they are in-bounds by construction):
+    int32 arithmetic silently wraps once the flattened array crosses
+    2^31 entries (the 512^2-torus bitset is EXACTLY 2^31 words; a dense
+    adjacency crosses it at 46,341 nodes), and the default take mode's
+    negative-index wraparound adds ``a.size`` — a Python int >= 2^31 —
+    to the index array, which overflows at the jit argument boundary.
+    uint32 headroom (2^32 entries = 17 GB of bitset words) exceeds
+    single-chip HBM, so the representation runs out before the index
+    does.
     """
     M, k = embs.shape
-    eT = embs.T.astype(jnp.int32)                    # (k, M)
+    eT = embs.T.astype(jnp.uint32)                   # (k, M)
     row = eT[:, None, :]                             # (k, 1, M)
     col = eT[None, :, :]                             # (1, k, M)
+
+    def take_flat(arr, lin):
+        return jnp.take(arr.reshape(-1), lin, axis=0, mode="clip")
+
     if weighted:
         if getattr(g, "weight", None) is None:
             raise ValueError("weighted patches need a weighted Graph")
-        lin = (row * g.weight.shape[1] + col).reshape(k * k, M)
-        return jnp.take(g.weight.reshape(-1), lin, axis=0).astype(
-            jnp.float32)
+        lin = (row * jnp.uint32(g.weight.shape[1]) + col).reshape(k * k, M)
+        return take_flat(g.weight, lin).astype(jnp.float32)
     if isinstance(g, BitsetGraph):
-        w32 = g.bits.shape[1]
-        widx = (row * w32 + col // 32).reshape(k * k, M)
-        words = jnp.take(g.bits.reshape(-1), widx, axis=0)
-        shift = jnp.broadcast_to(col, (k, k, M)).reshape(
-            k * k, M).astype(jnp.uint32) % 32
+        # bits_flat is already 1-D (the canonical form — no reshape copy)
+        widx = (row * jnp.uint32(g.words_per_row)
+                + col // 32).reshape(k * k, M)
+        words = jnp.take(g.bits_flat, widx, axis=0, mode="clip")
+        shift = jnp.broadcast_to(col, (k, k, M)).reshape(k * k, M) % 32
         return ((words >> shift) & jnp.uint32(1)).astype(jnp.float32)
-    lin = (row * g.adj.shape[1] + col).reshape(k * k, M)
-    return jnp.take(g.adj.reshape(-1), lin, axis=0).astype(jnp.float32)
+    lin = (row * jnp.uint32(g.adj.shape[1]) + col).reshape(k * k, M)
+    return take_flat(g.adj, lin).astype(jnp.float32)
 
 
 def _uniform_from_mask(key: jax.Array, mask: jax.Array) -> jax.Array:
@@ -269,14 +296,14 @@ def glauber_update(key: jax.Array, B: np.ndarray, parents: tuple[int, ...],
     imgs = emb[jnp.maximum(sel_idx, 0)]               # images of constraints
     if isinstance(g, BitsetGraph):
         n = g.num_nodes
-        words = g.bits[imgs]                          # (max_deg, W32)
+        words = _bitset_rows(g, imgs)                 # (max_deg, W32)
         # padding rows impose no constraint: all-ones
         words = jnp.where(valid[:, None], words, jnp.uint32(0xFFFFFFFF))
         cmn = words[0]
         for t in range(1, words.shape[0]):            # static, max_deg tiny
             cmn = cmn & words[t]
         # mask tail bits beyond n (static per-word mask)
-        W32 = g.bits.shape[1]
+        W32 = g.words_per_row
         word_mask = np.zeros(W32, np.uint32)
         word_mask[:n // 32] = 0xFFFFFFFF
         if n % 32:
