@@ -181,11 +181,23 @@ def main():
     scale = (args.side / 180.0) ** 2
     key = "torus_32k_scale_ndl" if args.side == 180 else (
         f"torus_{args.side * args.side}_scale_ndl")
-    # each section records independently: a late failure must not lose
-    # the earlier (long) measurements
+    # recon sample budget scales with the node count, CAPPED at 4.8M
+    # samples: at side 512 the flat bitset alone is 8.6 GB of the chip's
+    # 16 GB HBM, and the uncapped 9.7M-sample recon's temporaries
+    # (code iterate, painted-pair sort keys) overflow what remains —
+    # measured: the uncapped run hard-crashes the TPU worker, the
+    # capped one fits. The cap is a budget statement, not a semantics
+    # change (accuracy at the capped budget is what gets recorded).
+    # chain ensemble width: accuracy at a fixed sample budget is
+    # coverage-limited (docs/DESIGN.md §4), and wider ensembles are
+    # free until the chain-state overhead bites — measured at side 512:
+    # 8192 chains 0.814, 16384 chains 0.853 at the SAME wall, 32768
+    # chains 0.889 but +27% wall; 16384 is the sweet spot
+    chains = 4096 if args.side <= 180 else (
+        8192 if args.side <= 360 else 16384)
     sections = [(key, lambda: big_torus_ndl(
-        args.side, recons_iter=int(1_200_000 * scale),
-        num_chains=4096 if args.side <= 180 else 8192))]
+        args.side, recons_iter=min(int(1_200_000 * scale), 4_800_000),
+        num_chains=chains))]
     if not args.torus_only:
         sections += [("serving_throughput", serving_throughput),
                      ("soak_500k_steps", soak_500k)]

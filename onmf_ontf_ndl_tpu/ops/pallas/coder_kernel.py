@@ -334,6 +334,69 @@ def _lambda_max_warm_pair(gw_ref, vb_ref, Gd, Gh, vd, vh, iters: int):
     return lam_d, lam_h, vd_f, vh_f
 
 
+def _psd_lambda_ub(G):
+    """Certified upper bound on ``lambda_max`` of a PSD matrix: the
+    tighter of the trace and the Gershgorin max absolute row sum. Both
+    are exact inequalities, and for the Perron-dominant Grams this
+    kernel sees (nonneg iterates -> one dominant near-flat eigenvector)
+    the Gershgorin bound is near-tight (row sums ~ lambda_1 when
+    G ~ lambda_1 v v^T with flat v)."""
+    R = G.shape[0]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    tr = jnp.sum(jnp.where(ri == ci, G, 0.0))
+    rowsum = jnp.max(jnp.sum(jnp.abs(G), axis=1))
+    return jnp.minimum(tr, rowsum)
+
+
+def _stopping_update(gw_ref, vb_ref, vs_ref, conv_ref, Gd, Gh, v0, stop2,
+                     pi_iters):
+    """Per-sweep relative-spectral-change stopping decision, certified
+    bounds first.
+
+    The stopping rule compares ``lambda_max(Gd)`` against
+    ``stop^2 * lambda_max(Gh)``. Running the warm pair power iteration
+    (:func:`_lambda_max_warm_pair`) every sweep costs ``pi_iters``
+    sequential matvecs — the dominant sequential depth of the
+    early-stopping kernels once the Gauss-Seidel sweep itself is
+    blocked. Most sweeps don't need that accuracy: one warm power step
+    yields Rayleigh quotients that are EXACT lower bounds of both
+    eigenvalues, and :func:`_psd_lambda_ub` gives exact upper bounds,
+    so
+
+    - ``ub_d <= stop^2 * lb_h``  certifies converged, and
+    - ``lb_d >  stop^2 * ub_h``  certifies not converged,
+
+    each matching the true spectral rule (and hence the XLA exact-eigh
+    path's decision) with certainty. Only in the inconclusive band —
+    typically the one sweep where the trajectory crosses the threshold —
+    does the full ``pi_iters`` warm pair iteration run, exactly as
+    before. Decisions are therefore a superset-exactness improvement
+    over the always-PI scheme (PARITY.md deviation #8 unchanged).
+    """
+    # one warm power step: advances the carried eigenvector estimates
+    # AND returns Rayleigh-quotient lower bounds for both Grams
+    lb_d, lb_h, vd, vh = _lambda_max_warm_pair(
+        gw_ref, vb_ref, Gd, Gh, vs_ref[:, 0:1] + 0.05 * v0,
+        vs_ref[:, 1:2] + 0.05 * v0, 1)
+    vs_ref[:, 0:1] = vd
+    vs_ref[:, 1:2] = vh
+    ub_d = _psd_lambda_ub(Gd)
+    ub_h = _psd_lambda_ub(Gh)
+    conv_certain = ub_d <= stop2 * lb_h
+    notconv_certain = lb_d > stop2 * ub_h
+    conv_ref[0] = conv_certain.astype(jnp.int32)
+
+    @pl.when(jnp.logical_not(jnp.logical_or(conv_certain, notconv_certain)))
+    def _():
+        num, den, vd2, vh2 = _lambda_max_warm_pair(
+            gw_ref, vb_ref, Gd, Gh, vs_ref[:, 0:1], vs_ref[:, 1:2],
+            pi_iters)
+        vs_ref[:, 0:1] = vd2
+        vs_ref[:, 1:2] = vh2
+        conv_ref[0] = (num <= stop2 * den).astype(jnp.int32)
+
+
 def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, acorr_ref, A_ref, B_ref,
                      H0_ref, H_ref, Hold_ref, vs_ref, conv_ref, gw_ref,
                      vb_ref, *, r, sub_iter, bk, pi_iters):
@@ -374,17 +437,12 @@ def _coder_es_kernel(stop_ref, alpha_ref, diag_ref, acorr_ref, A_ref, B_ref,
             Gh = jax.lax.dot_general(
                 Hold_ref[...], Hold_ref[...], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            # mix the warm vectors with the fixed start: the previous
-            # sweep's eigenvector could be near-orthogonal to an
-            # abruptly-rotated delta (the blind spot the fixed start
-            # avoids); the mix keeps warm-start speed without it
-            num, den, vd, vh = _lambda_max_warm_pair(
-                gw_ref, vb_ref, Gd, Gh, vs_ref[:, 0:1] + 0.05 * v0,
-                vs_ref[:, 1:2] + 0.05 * v0, pi_iters)
-            vs_ref[:, 0:1] = vd
-            vs_ref[:, 1:2] = vh
-            # sigma(delta)^2 <= stop^2 * sigma(Hold)^2  <=>  rel <= stop
-            conv_ref[0] = (num <= stop2 * den).astype(jnp.int32)
+            # sigma(delta)^2 <= stop^2 * sigma(Hold)^2  <=>  rel <= stop;
+            # certified-bounds fast path, warm pair PI in the band (the
+            # 0.05 fixed-start mix guards abrupt iterate rotations that
+            # could leave the carried eigenvector near-orthogonal)
+            _stopping_update(gw_ref, vb_ref, vs_ref, conv_ref, Gd, Gh,
+                             v0, stop2, pi_iters)
 
         return 0
 
@@ -496,12 +554,8 @@ def _fista_kernel(stop_ref, alpha_ref, invL_ref, A_ref, B_ref, H0_ref,
                 Gh = jax.lax.dot_general(
                     H, H, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                num, den, vd, vh = _lambda_max_warm_pair(
-                    gw_ref, vb_ref, Gd, Gh, vs_ref[:, 0:1] + 0.05 * v0,
-                    vs_ref[:, 1:2] + 0.05 * v0, pi_iters)
-                vs_ref[:, 0:1] = vd
-                vs_ref[:, 1:2] = vh
-                conv_ref[0] = (num <= stop2 * den).astype(jnp.int32)
+                _stopping_update(gw_ref, vb_ref, vs_ref, conv_ref, Gd, Gh,
+                                 v0, stop2, pi_iters)
 
         if use_stopping:
             pl.when(conv_ref[0] == 0)(body)

@@ -97,6 +97,24 @@ def test_earlystop_kernel_runs_via_nonneg_code_gram_pallas_backend():
     np.testing.assert_array_equal(np.asarray(want), np.asarray(auto))
 
 
+def test_psd_lambda_ub_is_a_true_upper_bound():
+    # the certified-bounds stopping fast path relies on _psd_lambda_ub
+    # being an exact upper bound of lambda_max for any PSD matrix (and
+    # the Rayleigh quotient being an exact lower bound — standard); check
+    # on random Grams including the delta-Gram case with mixed signs
+    from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import _psd_lambda_ub
+
+    for i in range(20):
+        r, n = int(RNG.integers(2, 40)), int(RNG.integers(2, 200))
+        M = RNG.standard_normal((r, n)).astype(np.float32)
+        if i % 2:
+            M = np.abs(M)          # the nonneg-iterate (Perron) case
+        G = jnp.asarray(M @ M.T)
+        lam = float(np.linalg.eigvalsh(np.asarray(G, np.float64))[-1])
+        ub = float(_psd_lambda_ub(G))
+        assert ub >= lam * (1 - 1e-5), (i, ub, lam)
+
+
 def test_dict_kernel_asymmetric_A_matches_xla():
     # a non-aggregate asymmetric A must still match dict_update_bcd
     # (the kernel transposes A on entry; round-1 ADVICE item)
