@@ -293,6 +293,22 @@ def reconstruct_network_sparse(
     embs, vals_T = _recon_sample_vals(
         W, g, key, B_bytes, parents, recons_iter, alpha, sub_iter,
         use_glauber, weighted, num_chains, method)
+    out_i, out_j, sums, cnt = _group_painted(embs, vals_T, g.num_nodes)
+    mean = sums / jnp.maximum(cnt, 1.0)
+    return out_i, out_j, mean, cnt
+
+
+def _group_painted(embs, vals_T, n):
+    """Group the painted per-sample pair values by (i, j) node pair.
+
+    ``embs`` (M, k) int32, ``vals_T`` (k*k, M). Returns
+    ``(ii, jj, sums, cnt)``, each of length ``M*k*k``: per distinct
+    painted pair, the SUM of painted values and the number of paints;
+    slots with ``cnt == 0`` are padding (their ``ii``/``jj`` are the
+    int32 segment_max identity). Sums+counts — not means — so shards of
+    a chain ensemble can be merged exactly downstream (the global mean
+    is ``sum(sums)/sum(cnt)`` over shards; a mean cannot be re-weighted
+    without the counts)."""
     M, k = embs.shape
 
     # pair-major flat order (q, r, m) — matches vals_T's (k*k, M) layout
@@ -309,8 +325,8 @@ def reconstruct_network_sparse(
     # (a lexsort is TWO stable argsorts of the same 10M+ array — the
     # measured grouping wall at arxiv scale), lexicographic otherwise
     # (no overflow limit)
-    if g.num_nodes * g.num_nodes < 2 ** 31:
-        order = jnp.argsort(ii * jnp.int32(g.num_nodes) + jj)
+    if n * n < 2 ** 31:
+        order = jnp.argsort(ii * jnp.int32(n) + jj)
     else:
         order = jnp.lexsort((jj, ii))
     si, sj, sv = ii[order], jj[order], vv[order]
@@ -323,8 +339,7 @@ def reconstruct_network_sparse(
     cnt = jax.ops.segment_sum(jnp.ones_like(sv), seg, num_segments=total)
     out_i = jax.ops.segment_max(si, seg, num_segments=total)
     out_j = jax.ops.segment_max(sj, seg, num_segments=total)
-    mean = sums / jnp.maximum(cnt, 1.0)
-    return out_i, out_j, mean, cnt
+    return out_i, out_j, sums, cnt
 
 
 @jax.jit

@@ -23,6 +23,8 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -33,7 +35,8 @@ from onmf_ontf_ndl_tpu.models.state import OnmfState
 from onmf_ontf_ndl_tpu.models.onmf import _step_inner, _train_scan
 
 __all__ = ["dp_onmf_step", "dp_train_dict", "dp_train_image_dict",
-           "dp_ndl_train", "shard_batch"]
+           "dp_ndl_train", "dp_reconstruct_network_sparse",
+           "merge_recon_shards", "dp_recons_edges", "shard_batch"]
 
 
 def shard_batch(mesh: Mesh, X: jax.Array, axis: str = "dp") -> jax.Array:
@@ -349,3 +352,128 @@ def dp_ndl_train(
     return train(state, g, emb0,
                  jnp.asarray(alpha, state.W.dtype),
                  jnp.asarray(beta, state.W.dtype), sd)
+
+
+@functools.lru_cache(maxsize=64)
+def _dp_recon_fn(mesh, B_bytes, parents, recons_iter_pd, sub_iter,
+                 use_glauber, weighted, chains_pd, method, axis):
+    from onmf_ontf_ndl_tpu.apps.network import (_group_painted,
+                                                _recon_sample_vals)
+
+    def local(W, g, key, alpha):
+        key = jax.random.fold_in(key, lax.axis_index(axis))
+        embs, vals_T = _recon_sample_vals(
+            W, g, key, B_bytes, parents, recons_iter_pd, alpha, sub_iter,
+            use_glauber, weighted, chains_pd, method)
+        ii, jj, sums, cnt = _group_painted(embs, vals_T, g.num_nodes)
+        n_seg = jnp.sum(cnt > 0).astype(jnp.int32)[None]
+        return ii, jj, sums, cnt, n_seg
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    ))
+
+
+def dp_reconstruct_network_sparse(
+    mesh: Mesh,
+    W: jax.Array,
+    g,
+    key: jax.Array,
+    B_bytes: bytes,
+    parents: tuple[int, ...],
+    *,
+    recons_iter_per_device: int,
+    num_chains_per_device: int = 1,
+    alpha: float = 0.0,
+    sub_iter: int = 30,
+    use_glauber: bool = False,
+    weighted: bool = False,
+    method: str = "bcd",
+    axis: str = "dp",
+):
+    """Chain-sharded sparse network reconstruction over a device mesh.
+
+    Every device runs its own ``num_chains_per_device``-chain MCMC
+    ensemble (key streams decorrelated by device index), codes and
+    paints its ``recons_iter_per_device`` samples locally, and groups
+    them into per-pair (sum, count) segments — the multi-chip version
+    of :func:`onmf_ontf_ndl_tpu.apps.network.reconstruct_network_sparse`.
+    Because the reference's per-edge running average
+    (``network_reconstruction_nx.py:453-491``) equals the per-edge mean
+    over ALL painted samples, merging shards is exact: the global mean
+    of a pair is the ratio of summed shard sums to summed shard counts
+    (see :func:`merge_recon_shards`) — no approximation is introduced by
+    the sharding, only the sample budget is partitioned.
+
+    This shards the reconstruction's device-memory footprint (code
+    iterate, painted values, sort keys — the binding constraint at the
+    262,144-node single-chip scale, docs/DESIGN.md §6) along with the
+    wall-clock: per-device cost is that of a ``1/ndev`` sample budget.
+
+    Returns ``(ii, jj, sums, cnt, n_seg)`` — the first four
+    device-sharded over ``axis`` (each device's block holds its real
+    segments as a prefix), ``n_seg`` the (ndev,) per-device real-segment
+    counts. Feed to :func:`merge_recon_shards` /
+    :func:`dp_recons_edges` for the global result.
+    """
+    run = _dp_recon_fn(mesh, B_bytes, parents, int(recons_iter_per_device),
+                       int(sub_iter), bool(use_glauber), bool(weighted),
+                       int(num_chains_per_device), method, axis)
+    return run(W, g, key, jnp.asarray(alpha, W.dtype))
+
+
+def merge_recon_shards(ii, jj, sums, cnt, n_seg, n: int):
+    """Host-side exact merge of per-device grouped painted-pair shards.
+
+    Fetches only each shard's real-segment PREFIX over the host link
+    (real segments are contiguous from slot 0 because segment ids are a
+    cumsum), concatenates, regroups by (i, j), and returns
+    ``(pi, pj, mean, count)`` over the distinct global pairs with
+    ``mean = sum(shard sums) / sum(shard counts)`` — exactly the
+    reference's per-edge running average over the union of all devices'
+    samples (``network_reconstruction_nx.py:453-491``)."""
+    counts = np.asarray(n_seg).ravel()
+    ndev = counts.shape[0]
+    per = ii.shape[0] // ndev
+
+    def prefixes(arr):
+        shards = {int(s.index[0].start or 0): s for s in
+                  arr.addressable_shards}
+        out = []
+        for d in range(ndev):
+            lo = d * per
+            block = np.asarray(shards[lo].data) if lo in shards \
+                else np.asarray(arr[lo:lo + per])
+            out.append(block[:counts[d]])
+        return np.concatenate(out)
+
+    pi = prefixes(ii).astype(np.int64)
+    pj = prefixes(jj).astype(np.int64)
+    ps = prefixes(sums).astype(np.float64)
+    pc = prefixes(cnt).astype(np.float64)
+    key = pi * n + pj
+    uk, inv = np.unique(key, return_inverse=True)
+    gs = np.zeros(uk.shape[0])
+    gc = np.zeros(uk.shape[0])
+    np.add.at(gs, inv, ps)
+    np.add.at(gc, inv, pc)
+    return uk // n, uk % n, gs / np.maximum(gc, 1.0), gc
+
+
+def dp_recons_edges(mesh, W, g, key, B_bytes, parents, **kwargs):
+    """Convenience wrapper: DP sparse reconstruction -> host merge ->
+    undirected simple-graph edge array (pairs whose rounded global mean
+    is positive, self-loops dropped), matching
+    ``NetworkReconstructor.recons_edges`` semantics."""
+    ii, jj, sums, cnt, n_seg = dp_reconstruct_network_sparse(
+        mesh, W, g, key, B_bytes, parents, **kwargs)
+    pi, pj, mean, _ = merge_recon_shards(ii, jj, sums, cnt, n_seg,
+                                         g.num_nodes)
+    keep = np.round(mean) > 0
+    pi, pj = pi[keep], pj[keep]
+    lo, hi = np.minimum(pi, pj), np.maximum(pi, pj)
+    off_diag = lo != hi
+    return np.unique(np.stack([lo[off_diag], hi[off_diag]], axis=1), axis=0)

@@ -251,3 +251,63 @@ def test_dp_train_dict_block_sampling():
         np.testing.assert_array_equal(sh, shards[0])
     st3 = run()
     np.testing.assert_array_equal(np.asarray(st2.W), np.asarray(st3.W))
+
+
+def test_merge_recon_shards_exact():
+    """The DP recon host merge is exactly the global per-pair mean:
+    sum-of-shard-sums / sum-of-shard-counts, regrouped by pair."""
+    from onmf_ontf_ndl_tpu.parallel.dp import merge_recon_shards
+
+    n = 5
+    # two devices, 4 grouped slots each; real segments are a prefix
+    ii = jnp.asarray([0, 1, 0, 0, 0, 2, 0, 0], jnp.int32)
+    jj = jnp.asarray([1, 2, 0, 0, 1, 0, 0, 0], jnp.int32)
+    sums = jnp.asarray([3.0, 1.0, 0, 0, 1.0, 4.0, 0, 0])
+    cnt = jnp.asarray([2.0, 1.0, 0, 0, 2.0, 1.0, 0, 0])
+    n_seg = jnp.asarray([2, 2], jnp.int32)
+    pi, pj, mean, gc = merge_recon_shards(ii, jj, sums, cnt, n_seg, n)
+    got = {(int(a), int(b)): (float(m), float(c))
+           for a, b, m, c in zip(pi, pj, mean, gc)}
+    assert got == {(0, 1): (1.0, 4.0), (1, 2): (1.0, 1.0),
+                   (2, 0): (4.0, 1.0)}
+
+
+def test_dp_sparse_recon_virtual_mesh():
+    """Chain-sharded DP reconstruction on the 8-device virtual mesh:
+    deterministic, and the merged global edge set reconstructs the torus
+    as accurately as a single-device run of the same total budget."""
+    from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
+    from onmf_ontf_ndl_tpu.data.graphs import graph_from_adjacency
+    from onmf_ontf_ndl_tpu.parallel.dp import dp_recons_edges
+
+    m = 8
+    n = m * m
+    A = np.zeros((n, n), bool)
+    for i in range(m):
+        for j in range(m):
+            u = i * m + j
+            for (di, dj) in [(1, 0), (0, 1)]:
+                v = ((i + di) % m) * m + (j + dj) % m
+                A[u, v] = A[v, u] = True
+    g = graph_from_adjacency(A)
+    rec = NetworkReconstructor(
+        source=g, n_components=16, MCMC_iterations=8, sub_iterations=10,
+        sample_size=100, batch_size=20, k1=0, k2=2, alpha=0.1,
+        is_glauber_recons=False, dtype=jnp.float64,
+    )
+    rec.train_dict()
+
+    mesh = make_mesh({"dp": 8})
+    run = lambda: dp_recons_edges(
+        mesh, rec.state.W, g, jax.random.key(7), rec._B_bytes,
+        rec._parents, recons_iter_per_device=500,
+        num_chains_per_device=1, alpha=0.1, sub_iter=30,
+        use_glauber=False)
+    edges = run()
+    acc_dp = rec.compute_recons_accuracy(G_recons=edges)
+
+    rec.reconstruct_network(recons_iter=4000, num_chains=8)
+    acc_single = rec.compute_recons_accuracy()
+    assert acc_dp > 0.5, acc_dp
+    assert abs(acc_dp - acc_single) < 0.2, (acc_dp, acc_single)
+    np.testing.assert_array_equal(edges, run())
