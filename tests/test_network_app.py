@@ -253,3 +253,43 @@ def test_edges_from_sparse_result_beyond_uint32_packing():
         jnp.asarray([1.0, 2.0, 1.0, 0.0]), 300)
     np.testing.assert_array_equal(edges_small,
                                   np.asarray([[100, 200]]))
+
+
+def test_group_painted_both_sort_paths():
+    """_group_painted (fused uint32 single-key sort for n <= 65536,
+    two-key payload sort beyond) groups identically to a NumPy
+    reference groupby, with real segments in a contiguous prefix."""
+    import jax.numpy as jnp
+    from onmf_ontf_ndl_tpu.apps.network import _group_painted
+
+    rng = np.random.default_rng(3)
+    M, k = 200, 3
+    embs = jnp.asarray(rng.integers(0, 40, size=(M, k)), jnp.int32)
+    vals_T = jnp.asarray(rng.random((k * k, M)))
+
+    def np_group(n):
+        e = np.asarray(embs)
+        ii = np.broadcast_to(e.T[:, None, :], (k, k, M)).reshape(-1)
+        jj = np.broadcast_to(e.T[None, :, :], (k, k, M)).reshape(-1)
+        vv = np.asarray(vals_T).reshape(-1)
+        out = {}
+        for a, b, v in zip(ii, jj, vv):
+            s, c = out.get((a, b), (0.0, 0))
+            out[(a, b)] = (s + v, c + 1)
+        return out
+
+    for n in (60_000, 70_000):    # fused path / two-key path
+        oi, oj, sums, cnt = _group_painted(embs, vals_T, n)
+        oi, oj = np.asarray(oi), np.asarray(oj)
+        sums, cnt = np.asarray(sums), np.asarray(cnt)
+        n_seg = int((cnt > 0).sum())
+        # contiguous prefix of real segments
+        assert (cnt[:n_seg] > 0).all() and (cnt[n_seg:] == 0).all()
+        expected = np_group(n)
+        got = {(int(a), int(b)): (float(s), int(c)) for a, b, s, c in
+               zip(oi[:n_seg], oj[:n_seg], sums[:n_seg], cnt[:n_seg])}
+        assert set(got) == set(expected)
+        for pair, (s, c) in expected.items():
+            gs, gc = got[pair]
+            assert gc == c
+            np.testing.assert_allclose(gs, s, rtol=1e-12)
