@@ -403,6 +403,14 @@ def _edges_from_sparse_result(ii, jj, mean, cnt, n):
         pj = np.asarray(jj[:n_seg]).astype(np.int64)
         keep = np.round(np.asarray(mean[:n_seg])) > 0
         pi, pj = pi[keep], pj[keep]
+    return _undirected_simple_edges(pi, pj)
+
+
+def _undirected_simple_edges(pi, pj):
+    """Host-side simple-graph fold shared by the single-device and DP
+    reconstruction paths: directed kept pairs -> sorted unique
+    undirected edges, self-loops dropped (the reference's rounding to a
+    simple graph, ``network_reconstruction_nx.py:501-508``)."""
     lo, hi = np.minimum(pi, pj), np.maximum(pi, pj)
     off_diag = lo != hi
     return np.unique(np.stack([lo[off_diag], hi[off_diag]], axis=1), axis=0)
@@ -732,11 +740,11 @@ class NetworkReconstructor:
         i = np.asarray(i)
         j = np.asarray(j)
         if isinstance(self.G, BitsetGraph):
-            lin = jnp.asarray(
-                i.astype(np.uint32) * np.uint32(self.G.words_per_row)
-                + (j // 32).astype(np.uint32))
-            words = np.asarray(jnp.take(self.G.bits_flat, lin, axis=0,
-                                        mode="clip"))
+            # per-dim (row, word) gather: no linear index to overflow,
+            # no flattened view (see the BitsetGraph layout note)
+            words = np.asarray(self.G.bits.at[
+                jnp.asarray(i.astype(np.int32)),
+                jnp.asarray((j // 32).astype(np.int32))].get(mode="clip"))
             return ((words >> (j % 32).astype(np.uint32)) & 1).astype(bool)
         return np.asarray(self.G.adj[jnp.asarray(i), jnp.asarray(j)])
 

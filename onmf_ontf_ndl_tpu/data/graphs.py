@@ -190,36 +190,39 @@ class BitsetGraph:
     semantics as :class:`Graph` via the dispatch helpers in
     ``samplers/motif.py``. Binary graphs only (no edge weights)."""
 
-    # CANONICAL adjacency storage is the FLAT row-major packed array:
-    # an on-device reshape of a (8, 128)-tiled array is a full relayout
-    # copy (8 GB at the 512^2-torus scale, which OOMed reconstruction
-    # when the 2-D form was canonical). Device consumers gather straight
-    # from the flat form (samplers/motif.py::_bitset_rows and the linear
-    # uint32 takes); the 2-D ``bits`` property is a host-side view.
-    bits_flat: jax.Array  # (N * ceil(N/32),) uint32 packed adjacency rows
-    nbr_flat: jax.Array   # (2E,) int32 CSR neighbor list
-    offsets: jax.Array    # (N,) int32 CSR row starts
-    deg: jax.Array        # (N,) int32
-    n_nodes: int = dataclasses.field(
-        metadata=dict(static=True), default=0)
+    # CANONICAL adjacency storage is the 2-D (N, ceil(N/32)) packed-row
+    # array. Device consumers gather whole rows
+    # (``samplers/motif.py::_bitset_rows``) or words by per-dimension
+    # (row, word) index pairs — never through a flattened view or a
+    # linear index. Rationale, measured both ways:
+    #  * row gathers from the tiled 2-D operand are ~16x faster than
+    #    vmapped ``dynamic_slice`` from a flat array (side-180 torus
+    #    recon chain scan: 0.20 s vs 3.17 s) — unaligned flat slices
+    #    defeat XLA's tile-granular gather;
+    #  * an on-device ``reshape(-1)`` of the 2-D array is a full
+    #    relayout copy (8 GB at the 512^2-torus scale), so no consumer
+    #    may flatten it inside jit;
+    #  * per-dimension indices each stay < N, so int32 index arithmetic
+    #    never overflows where a LINEAR index wraps past 2^31 elements
+    #    (the 512^2 bitset is exactly 2^31 words; a dense adjacency
+    #    wraps at 46,341 nodes). Gathers use ``mode="clip"`` — in-bounds
+    #    by construction; it also skips ``jnp.take``'s negative-index
+    #    wraparound, whose ``+ size`` constant is a Python int >= 2^31
+    #    at that scale and overflows at the jit argument boundary.
+    bits: jax.Array      # (N, ceil(N/32)) uint32 packed adjacency rows
+    nbr_flat: jax.Array  # (2E,) int32 CSR neighbor list
+    offsets: jax.Array   # (N,) int32 CSR row starts
+    deg: jax.Array       # (N,) int32
     node_ids: tuple = dataclasses.field(
         metadata=dict(static=True), default=())
 
     @property
     def num_nodes(self) -> int:
-        return self.n_nodes
+        return self.bits.shape[0]
 
     @property
     def words_per_row(self) -> int:
-        return (self.n_nodes + 31) // 32
-
-    @property
-    def bits(self) -> np.ndarray:
-        """(N, ceil(N/32)) 2-D adjacency rows as a HOST array. Host-side
-        convenience (accuracy unpack, tests) — never use inside jit; the
-        flat form is the device representation."""
-        return np.asarray(self.bits_flat).reshape(
-            self.n_nodes, self.words_per_row)
+        return self.bits.shape[1]
 
     @property
     def num_edges(self) -> int:
@@ -275,11 +278,10 @@ def bitset_graph_from_edges(edges) -> BitsetGraph:
     np.bitwise_or.at(bits, (src, (dst // 32)),
                      (np.uint32(1) << (dst % 32).astype(np.uint32)))
     return BitsetGraph(
-        bits_flat=jnp.asarray(bits.reshape(-1)),   # host reshape: free
+        bits=jnp.asarray(bits),
         nbr_flat=jnp.asarray(dst.astype(np.int32)),
         offsets=jnp.asarray(offsets),
         deg=jnp.asarray(deg),
-        n_nodes=n,
         node_ids=tuple(int(v) for v in node_ids),
     )
 

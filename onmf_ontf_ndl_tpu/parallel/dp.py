@@ -444,10 +444,12 @@ def merge_recon_shards(ii, jj, sums, cnt, n_seg, n: int):
                   arr.addressable_shards}
         out = []
         for d in range(ndev):
-            lo = d * per
-            block = np.asarray(shards[lo].data) if lo in shards \
-                else np.asarray(arr[lo:lo + per])
-            out.append(block[:counts[d]])
+            lo, c = d * per, int(counts[d])
+            # slice BEFORE np.asarray: only the real-segment prefix may
+            # cross the (slow) host link, never the padded block
+            block = shards[lo].data[:c] if lo in shards \
+                else arr[lo:lo + c]
+            out.append(np.asarray(block))
         return np.concatenate(out)
 
     pi = prefixes(ii).astype(np.int64)
@@ -468,12 +470,11 @@ def dp_recons_edges(mesh, W, g, key, B_bytes, parents, **kwargs):
     undirected simple-graph edge array (pairs whose rounded global mean
     is positive, self-loops dropped), matching
     ``NetworkReconstructor.recons_edges`` semantics."""
+    from onmf_ontf_ndl_tpu.apps.network import _undirected_simple_edges
+
     ii, jj, sums, cnt, n_seg = dp_reconstruct_network_sparse(
         mesh, W, g, key, B_bytes, parents, **kwargs)
     pi, pj, mean, _ = merge_recon_shards(ii, jj, sums, cnt, n_seg,
                                          g.num_nodes)
     keep = np.round(mean) > 0
-    pi, pj = pi[keep], pj[keep]
-    lo, hi = np.minimum(pi, pj), np.maximum(pi, pj)
-    off_diag = lo != hi
-    return np.unique(np.stack([lo[off_diag], hi[off_diag]], axis=1), axis=0)
+    return _undirected_simple_edges(pi[keep], pj[keep])

@@ -89,14 +89,12 @@ def _uniform_neighbor(key: jax.Array, g, x: jax.Array) -> jax.Array:
 
 
 def _bitset_rows(g, idx: jax.Array) -> jax.Array:
-    """(len(idx), W32) packed adjacency rows gathered straight from the
-    canonical FLAT bitset via vmapped ``dynamic_slice`` (one strided
-    gather). Never forms a 2-D view: an on-device reshape of the
-    (N*W32,) array is a full relayout copy — 8 GB at the 512^2-torus
-    scale."""
-    w32 = g.words_per_row
-    return jax.vmap(lambda i: jax.lax.dynamic_slice(
-        g.bits_flat, (i.astype(jnp.uint32) * jnp.uint32(w32),), (w32,)))(idx)
+    """(len(idx), W32) packed adjacency rows: a whole-row gather from
+    the canonical 2-D bitset. Measured ~16x faster than vmapped
+    ``dynamic_slice`` from a flattened copy (the chain-scan wall of the
+    side-180 torus reconstruction: 0.20 s vs 3.17 s) — see the layout
+    note on :class:`BitsetGraph`."""
+    return g.bits[idx]
 
 
 def _adj_rows(g, emb: jax.Array) -> jax.Array:
@@ -114,11 +112,9 @@ def _adj_rows(g, emb: jax.Array) -> jax.Array:
 def _pair_matrix(g, emb: jax.Array) -> jax.Array:
     """(k, k) float edge-indicator matrix among the embedded nodes."""
     if isinstance(g, BitsetGraph):
-        cols = emb[None, :].astype(jnp.uint32)
-        lin = (emb[:, None].astype(jnp.uint32)
-               * jnp.uint32(g.words_per_row) + cols // 32)
-        words = jnp.take(g.bits_flat, lin, axis=0, mode="clip")
-        bit = (words >> cols % 32) & jnp.uint32(1)
+        cols = emb[None, :]
+        words = g.bits.at[emb[:, None], cols // 32].get(mode="clip")
+        bit = (words >> cols.astype(jnp.uint32) % 32) & jnp.uint32(1)
         return bit.astype(jnp.float32)
     return g.adj[emb[:, None], emb[None, :]].astype(jnp.float32)
 
@@ -130,47 +126,38 @@ def pair_matrices_T(g, embs: jax.Array, *,
     in sample m`` — identical values/order to
     ``vmap(_pair_matrix)(embs).reshape(M, k*k).T``.
 
-    The batch axis is kept MINOR throughout, and every gather is a 1-D
-    linear-index ``take``. The vmapped form builds gather index tensors
-    whose minor dims are (k, k); XLA pads those to full register/tile
-    extents — measured 43-57x HBM expansion at reconstruction scale
-    (a 165 MB unpadded index tensor padded to 9.2 GB OOMed the
-    129,600-node torus reconstruction). Here every intermediate is
-    (k, k, M) or (k*k, M) with M minor, i.e. tile-dense.
+    The batch axis is kept MINOR throughout. The vmapped form builds
+    gather index tensors whose minor dims are (k, k); XLA pads those to
+    full register/tile extents — measured 43-57x HBM expansion at
+    reconstruction scale (a 165 MB unpadded index tensor padded to
+    9.2 GB OOMed the 129,600-node torus reconstruction). Here every
+    intermediate is (k*k, M) with M minor, i.e. tile-dense.
 
-    Linear indices are computed in uint32 and gathered with
-    ``mode="clip"`` (a no-op — they are in-bounds by construction):
-    int32 arithmetic silently wraps once the flattened array crosses
-    2^31 entries (the 512^2-torus bitset is EXACTLY 2^31 words; a dense
-    adjacency crosses it at 46,341 nodes), and the default take mode's
-    negative-index wraparound adds ``a.size`` — a Python int >= 2^31 —
-    to the index array, which overflows at the jit argument boundary.
-    uint32 headroom (2^32 entries = 17 GB of bitset words) exceeds
-    single-chip HBM, so the representation runs out before the index
-    does.
+    Every gather indexes the matrix operand with PER-DIMENSION (row,
+    col) index pairs — never a flattened view plus a linear index: an
+    on-device ``reshape(-1)`` of a tiled 2-D array is a full relayout
+    copy (8 GB at 512^2-torus scale), and a linear index wraps int32
+    past 2^31 elements (the 512^2 bitset is exactly 2^31 words; a dense
+    adjacency wraps at 46,341 nodes) while per-dim indices each stay
+    < N. ``mode="clip"`` is a no-op (indices in-bounds by construction)
+    that skips ``jnp.take``'s negative-index wraparound, whose
+    ``+ size`` Python-int constant overflows the jit argument boundary
+    at >= 2^31 elements.
     """
     M, k = embs.shape
-    eT = embs.T.astype(jnp.uint32)                   # (k, M)
-    row = eT[:, None, :]                             # (k, 1, M)
-    col = eT[None, :, :]                             # (1, k, M)
-
-    def take_flat(arr, lin):
-        return jnp.take(arr.reshape(-1), lin, axis=0, mode="clip")
+    eT = embs.T.astype(jnp.int32)                    # (k, M)
+    row = jnp.broadcast_to(eT[:, None, :], (k, k, M)).reshape(k * k, M)
+    col = jnp.broadcast_to(eT[None, :, :], (k, k, M)).reshape(k * k, M)
 
     if weighted:
         if getattr(g, "weight", None) is None:
             raise ValueError("weighted patches need a weighted Graph")
-        lin = (row * jnp.uint32(g.weight.shape[1]) + col).reshape(k * k, M)
-        return take_flat(g.weight, lin).astype(jnp.float32)
+        return g.weight.at[row, col].get(mode="clip").astype(jnp.float32)
     if isinstance(g, BitsetGraph):
-        # bits_flat is already 1-D (the canonical form — no reshape copy)
-        widx = (row * jnp.uint32(g.words_per_row)
-                + col // 32).reshape(k * k, M)
-        words = jnp.take(g.bits_flat, widx, axis=0, mode="clip")
-        shift = jnp.broadcast_to(col, (k, k, M)).reshape(k * k, M) % 32
+        words = g.bits.at[row, col // 32].get(mode="clip")
+        shift = col.astype(jnp.uint32) % 32
         return ((words >> shift) & jnp.uint32(1)).astype(jnp.float32)
-    lin = (row * jnp.uint32(g.adj.shape[1]) + col).reshape(k * k, M)
-    return take_flat(g.adj, lin).astype(jnp.float32)
+    return g.adj.at[row, col].get(mode="clip").astype(jnp.float32)
 
 
 def _uniform_from_mask(key: jax.Array, mask: jax.Array) -> jax.Array:

@@ -235,14 +235,11 @@ def test_bitset_loader_on_reference_facebook():
     assert g.num_nodes == 4039
     assert g.num_edges == 88234
     assert g.bits.shape == (4039, (4039 + 31) // 32)
-    assert g.bits_flat.shape == (4039 * ((4039 + 31) // 32),)
 
 
 def test_bitset_rows_matches_host_view():
-    """_bitset_rows (vmapped dynamic_slice from the canonical flat
-    bitset) must return exactly the 2-D host view's rows — it exists so
-    device code never reshapes the flat array (a full relayout copy,
-    8 GB at 512^2-torus scale)."""
+    """_bitset_rows (whole-row gather from the canonical 2-D bitset)
+    must return exactly the host view's rows."""
     from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
     from onmf_ontf_ndl_tpu.samplers.motif import _bitset_rows
 
@@ -252,7 +249,7 @@ def test_bitset_rows_matches_host_view():
     g = bitset_graph_from_edges(edges)
     idx = jnp.asarray(rng.integers(0, g.num_nodes, 13), jnp.int32)
     got = np.asarray(jax.jit(_bitset_rows, static_argnums=())(g, idx))
-    np.testing.assert_array_equal(got, g.bits[np.asarray(idx)])
+    np.testing.assert_array_equal(got, np.asarray(g.bits)[np.asarray(idx)])
 
 
 def test_select_uniform_bit_law():

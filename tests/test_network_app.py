@@ -264,7 +264,12 @@ def test_group_painted_both_sort_paths():
 
     rng = np.random.default_rng(3)
     M, k = 200, 3
-    embs = jnp.asarray(rng.integers(0, 40, size=(M, k)), jnp.int32)
+    e_np = rng.integers(0, 40, size=(M, k))
+    # include the last representable node: at n = 65536 the pair
+    # (65535, 65535) packs to the all-ones uint32 — the exact fused-key
+    # boundary (and _pack_recon_edges' sentinel value)
+    e_np[:2] = 65535
+    embs = jnp.asarray(e_np, jnp.int32)
     vals_T = jnp.asarray(rng.random((k * k, M)))
 
     def np_group(n):
@@ -278,7 +283,7 @@ def test_group_painted_both_sort_paths():
             out[(a, b)] = (s + v, c + 1)
         return out
 
-    for n in (60_000, 70_000):    # fused path / two-key path
+    for n in (65_536, 70_000):    # fused path at its boundary / two-key
         oi, oj, sums, cnt = _group_painted(embs, vals_T, n)
         oi, oj = np.asarray(oi), np.asarray(oj)
         sums, cnt = np.asarray(sums), np.asarray(cnt)
