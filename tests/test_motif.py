@@ -361,3 +361,51 @@ def test_pair_matrices_T_matches_vmapped_single():
     wantw = np.asarray(gw.weight)[np.asarray(embs)[:, :, None],
                                   np.asarray(embs)[:, None, :]]
     np.testing.assert_allclose(got_w, wantw.reshape(M, k * k).T, rtol=1e-6)
+
+
+def test_intern_edges_matches_dict_loop_oracle():
+    """The vectorized first-appearance interning must order and index
+    nodes exactly like the obvious dict loop (the load-bearing
+    networkx-compatible ordering invariant)."""
+    from onmf_ontf_ndl_tpu.data.graphs import _intern_edges
+
+    rng = np.random.default_rng(11)
+    labels = rng.choice([3, 900, 17, -4, 12345678, 0, 55], size=(400, 2))
+    e, node_ids = _intern_edges(labels)
+
+    order = {}
+    for a, b in labels:
+        for v in (int(a), int(b)):
+            if v not in order:
+                order[v] = len(order)
+    assert node_ids.tolist() == list(order)
+    oe = np.asarray([(order[int(a)], order[int(b)]) for a, b in labels])
+    oe = oe[oe[:, 0] != oe[:, 1]]
+    lo = np.minimum(oe[:, 0], oe[:, 1])
+    hi = np.maximum(oe[:, 0], oe[:, 1])
+    oe = np.unique(np.stack([lo, hi], 1), axis=0)
+    np.testing.assert_array_equal(e, oe)
+
+
+def test_bitset_device_build_matches_host_oracle():
+    """The on-device scatter-add bitset build (a sum of distinct powers
+    of two IS the bitwise OR, because directed pairs are unique) must
+    reproduce the host np.bitwise_or build bit for bit."""
+    from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
+
+    rng = np.random.default_rng(23)
+    # 40 nodes -> 2 words per row, exercising a word boundary
+    edges = np.asarray([(int(a), int(b))
+                        for a, b in rng.integers(0, 40, (150, 2)) if a != b])
+    g_dev = bitset_graph_from_edges(edges, device_build=True)
+    g_host = bitset_graph_from_edges(edges, device_build=False)
+    n = g_dev.num_nodes
+
+    idx = {v: i for i, v in enumerate(g_dev.node_ids)}
+    oracle = np.zeros((n, (n + 31) // 32), np.uint32)
+    for a, b in edges:
+        i, j = idx[int(a)], idx[int(b)]
+        oracle[i, j // 32] |= np.uint32(1) << np.uint32(j % 32)
+        oracle[j, i // 32] |= np.uint32(1) << np.uint32(i % 32)
+    np.testing.assert_array_equal(np.asarray(g_dev.bits), oracle)
+    np.testing.assert_array_equal(np.asarray(g_host.bits), oracle)
