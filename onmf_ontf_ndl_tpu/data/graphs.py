@@ -211,11 +211,15 @@ class BitsetGraph:
     #    wraparound, whose ``+ size`` constant is a Python int >= 2^31
     #    at that scale and overflows at the jit argument boundary.
     bits: jax.Array      # (N, ceil(N/32)) uint32 packed adjacency rows
-    nbr_flat: jax.Array  # (2E,) int32 CSR neighbor list
+    nbr_flat: jax.Array  # (2E,) int32 CSR neighbors, ascending per row
     offsets: jax.Array   # (N,) int32 CSR row starts
     deg: jax.Array       # (N,) int32
     node_ids: tuple = dataclasses.field(
         metadata=dict(static=True), default=())
+    # static max degree: lets samplers choose candidate-list kernels
+    # with a (max_deg,)-shaped slot axis (samplers/motif.py)
+    max_deg: int = dataclasses.field(
+        metadata=dict(static=True), default=0)
 
     @property
     def num_nodes(self) -> int:
@@ -291,7 +295,10 @@ def bitset_graph_from_edges(edges, *,
     n = len(node_ids)
     both = np.concatenate([e, e[:, ::-1]], axis=0)        # directed both ways
     src, dst = both[:, 0], both[:, 1]
-    order = np.argsort(src, kind="stable")
+    # lexsort: each CSR row lists its neighbors ASCENDING — the same
+    # index order as the packed bitset and the dense nbr table, so
+    # rank-select draws agree bit for bit across representations
+    order = np.lexsort((dst, src))
     src, dst = src[order], dst[order]
     deg = np.bincount(src, minlength=n).astype(np.int32)
     offsets = np.concatenate([[0], np.cumsum(deg)[:-1]]).astype(np.int32)
@@ -325,6 +332,7 @@ def bitset_graph_from_edges(edges, *,
         offsets=jnp.asarray(offsets),
         deg=jnp.asarray(deg),
         node_ids=tuple(int(v) for v in node_ids),
+        max_deg=int(deg.max()) if n else 0,
     )
 
 

@@ -34,6 +34,14 @@ from jax import lax
 
 from onmf_ontf_ndl_tpu.data.graphs import BitsetGraph, Graph
 
+# Glauber kernel selection for BitsetGraph: the candidate-list
+# intersection does O(max_deg) scattered single-word lookups per chain
+# step; the packed-AND kernel streams O(words_per_row) contiguous words.
+# Scattered lookups cost roughly a cache-line granule each, so the
+# candidate kernel wins when max_deg * FACTOR <= words_per_row
+# (conservative; at the 512^2 torus the ratio is 4 vs 8192).
+_CANDIDATE_DEG_FACTOR = 8
+
 __all__ = [
     "path_adj",
     "tree_parents",
@@ -281,7 +289,44 @@ def glauber_update(key: jax.Array, B: np.ndarray, parents: tuple[int, ...],
     sel_idx = tbl[j]                                  # (max_deg,)
     valid = sel_idx >= 0
     imgs = emb[jnp.maximum(sel_idx, 0)]               # images of constraints
-    if isinstance(g, BitsetGraph):
+    if isinstance(g, BitsetGraph) and 0 < g.max_deg * \
+            _CANDIDATE_DEG_FACTOR <= g.words_per_row and valid.shape[0] > 0:
+        # candidate-list intersection for LOW-DEGREE graphs: the common
+        # neighbors of the constraint images are a subset of the FIRST
+        # valid constraint's neighbor list, so enumerate its <= max_deg
+        # CSR candidates and test each against the other constraints
+        # with single-word bitset lookups — O(max_deg) work per chain
+        # step instead of O(N/32) packed words. At the 512^2 torus
+        # (degree 4, 8192 words/row) this is the difference between the
+        # chain scan dominating the reconstruction and vanishing from
+        # it. CSR rows are ascending (data/graphs.py lexsort), so the
+        # rank-select draw picks the same element as the packed/dense
+        # kernels for the same key — identical draws, tested.
+        n = g.num_nodes
+        D = g.max_deg
+        first = jnp.argmax(valid)                     # first valid slot
+        c0 = imgs[first]
+        cand = g.nbr_flat.at[
+            g.offsets[c0] + jnp.arange(D, dtype=jnp.int32)].get(mode="clip")
+        ok = jnp.arange(D) < g.deg[c0]
+        for t in range(valid.shape[0]):               # static, tiny
+            active = valid[t] & (jnp.int32(t) != first)
+            word = g.bits.at[imgs[t], cand // 32].get(mode="clip")
+            member = (word >> cand.astype(jnp.uint32) % 32) & jnp.uint32(1)
+            ok = ok & ((member > 0) | ~active)
+        # no valid constraint at all (edgeless motif): empty candidate
+        # set -> the fallback's uniform-over-[0, n) draw, matching the
+        # reference's unconstrained resample
+        ok = ok & jnp.any(valid)
+        c = jnp.cumsum(ok.astype(jnp.int32))
+        total = c[-1]
+        ku, kf = jax.random.split(ks)
+        u = jax.random.uniform(ku, ())
+        target = jnp.minimum((u * total).astype(jnp.int32) + 1,
+                             jnp.maximum(total, 1))
+        y = cand[jnp.argmax(c >= target)]
+        y = jnp.where(total > 0, y, jax.random.randint(kf, (), 0, n))
+    elif isinstance(g, BitsetGraph):
         n = g.num_nodes
         words = _bitset_rows(g, imgs)                 # (max_deg, W32)
         # padding rows impose no constraint: all-ones

@@ -409,3 +409,42 @@ def test_bitset_device_build_matches_host_oracle():
         oracle[j, i // 32] |= np.uint32(1) << np.uint32(i % 32)
     np.testing.assert_array_equal(np.asarray(g_dev.bits), oracle)
     np.testing.assert_array_equal(np.asarray(g_host.bits), oracle)
+
+
+def test_glauber_candidate_kernel_matches_dense_draws():
+    """On a low-degree graph large enough to select the candidate-list
+    Glauber kernel (max_deg * 8 <= words_per_row), bitset draws must be
+    IDENTICAL to the dense-representation draws for the same keys: the
+    candidate set enumerates the first constraint's ascending CSR row,
+    so the rank-select picks the same element as the dense (N,)-mask
+    rank-select."""
+    from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
+    from onmf_ontf_ndl_tpu.samplers import motif
+
+    # 2048-node ring + chords: max_deg 4, words_per_row 64 -> candidate
+    n = 2048
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(i, (i + 7) % n) for i in range(0, n, 3)]
+    gd = graph_from_edgelist(np.asarray(edges))
+    gb = bitset_graph_from_edges(np.asarray(edges))
+    assert gb.max_deg * motif._CANDIDATE_DEG_FACTOR <= gb.words_per_row
+
+    B = path_adj(0, 2)
+    parents = tree_parents(B)
+    emb0 = jnp.asarray([0, 1, 2], jnp.int32)
+    reps = 4000
+    keys = jax.random.split(jax.random.key(5), reps)
+    outs_d = jax.vmap(lambda k: glauber_update(k, B, parents, gd, emb0))(keys)
+    outs_b = jax.vmap(lambda k: glauber_update(k, B, parents, gb, emb0))(keys)
+    np.testing.assert_array_equal(np.asarray(outs_d), np.asarray(outs_b))
+
+    # and a multi-step chain stays identical (errors would compound)
+    def chain(g):
+        def step(emb, k):
+            emb = glauber_update(k, B, parents, g, emb)
+            return emb, emb
+        _, out = jax.lax.scan(step, emb0, jax.random.split(
+            jax.random.key(9), 500))
+        return out
+    np.testing.assert_array_equal(np.asarray(chain(gd)),
+                                  np.asarray(chain(gb)))
