@@ -35,16 +35,24 @@ def torus_edges(m):
     return edges
 
 
-def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096):
+def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096,
+                  use_csr=False):
     from run_all import fence, steady   # shared fencing/steady helpers
     from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
-    from onmf_ontf_ndl_tpu.data.graphs import bitset_graph_from_edges
+    from onmf_ontf_ndl_tpu.data.graphs import (
+        bitset_graph_from_edges, csr_graph_from_edges)
 
+    import jax.numpy as jnp
+    fence(jnp.ones(8))   # backend init OUTSIDE the load timer: the
+    # first device op pays the tunnel handshake (~10-100 s depending on
+    # session state), which is per-process overhead, not graph loading
     t0 = time.time()
-    g = bitset_graph_from_edges(torus_edges(m))
+    build = csr_graph_from_edges if use_csr else bitset_graph_from_edges
+    g = build(torus_edges(m))
     t_load = time.time() - t0
     print(f"torus {m}x{m}: {g.num_nodes} nodes, {g.num_edges} edges, "
-          f"bitset built+shipped in {t_load:.1f}s", file=sys.stderr)
+          f"{'csr' if use_csr else 'bitset'} built+shipped in "
+          f"{t_load:.1f}s", file=sys.stderr)
 
     def make():
         return NetworkReconstructor(
@@ -68,6 +76,7 @@ def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096):
     print(f"train {t_train:.1f}s  recon {t_rec:.1f}s  accuracy {acc:.4f}",
           file=sys.stderr)
     return {"nodes": int(g.num_nodes), "edges": int(g.num_edges),
+            "repr": "csr" if use_csr else "bitset",
             "load_s": round(t_load, 2), "train_s": round(t_train, 2),
             "recon_s": round(t_rec, 2), "recons_accuracy": round(acc, 4),
             "recon_samples_m": round(recons_iter / 1e6, 1),
@@ -170,6 +179,15 @@ def main():
     ap.add_argument("--torus-only", action="store_true",
                     help="record only the torus point (skip re-measuring "
                          "serving/soak)")
+    ap.add_argument("--csr", action="store_true",
+                    help="use the pure-CSR O(E) representation (the "
+                         "million-node path; past side 512 the bitset "
+                         "no longer fits HBM and this is the only "
+                         "option)")
+    ap.add_argument("--recon-samples", type=int, default=None,
+                    help="override the reconstruction sample budget")
+    ap.add_argument("--chains", type=int, default=None,
+                    help="override the recon chain-ensemble width")
     args = ap.parse_args()
     results = {}
     if os.path.exists(OUT):
@@ -181,6 +199,8 @@ def main():
     scale = (args.side / 180.0) ** 2
     key = "torus_32k_scale_ndl" if args.side == 180 else (
         f"torus_{args.side * args.side}_scale_ndl")
+    if args.csr:
+        key += "_csr"
     # recon sample budget scales with the node count, CAPPED at 4.8M
     # samples: at side 512 the flat bitset alone is 8.6 GB of the chip's
     # 16 GB HBM, and the uncapped 9.7M-sample recon's temporaries
@@ -193,11 +213,16 @@ def main():
     # free until the chain-state overhead bites — measured at side 512:
     # 8192 chains 0.814, 16384 chains 0.853 at the SAME wall, 32768
     # chains 0.889 but +27% wall; 16384 is the sweet spot
-    chains = 4096 if args.side <= 180 else (
-        8192 if args.side <= 360 else 16384)
+    chains = args.chains or (4096 if args.side <= 180 else (
+        8192 if args.side <= 360 else (16384 if args.side <= 512
+                                       else 32768)))
+    # the 4.8M cap is a BITSET-HBM budget; the pure-CSR representation
+    # frees ~8.6 GB at side >= 512 and takes a 4x larger budget
+    cap = 19_200_000 if args.csr else 4_800_000
+    samples = args.recon_samples or min(int(1_200_000 * scale), cap)
     sections = [(key, lambda: big_torus_ndl(
-        args.side, recons_iter=min(int(1_200_000 * scale), 4_800_000),
-        num_chains=chains))]
+        args.side, recons_iter=samples, num_chains=chains,
+        use_csr=args.csr))]
     if not args.torus_only:
         sections += [("serving_throughput", serving_throughput),
                      ("soak_500k_steps", soak_500k)]

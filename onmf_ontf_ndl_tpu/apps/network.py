@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from onmf_ontf_ndl_tpu.data.graphs import (
-    BitsetGraph, Graph, graph_from_adjacency, load_edgelist)
+    BitsetGraph, CsrGraph, Graph, graph_from_adjacency, load_edgelist)
 from onmf_ontf_ndl_tpu.models.onmf import _train_scan
 from onmf_ontf_ndl_tpu.models.state import OnmfState, init_state
 from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
@@ -444,7 +444,7 @@ class NetworkReconstructor:
         seed: int = 0,
         dtype=jnp.float32,
     ):
-        if isinstance(source, (Graph, BitsetGraph)):
+        if isinstance(source, (Graph, BitsetGraph, CsrGraph)):
             self.G = source
         elif source is not None:
             self.G = load_edgelist(source)
@@ -615,7 +615,7 @@ class NetworkReconstructor:
         if num_chains is None:
             num_chains = self.num_chains
         if sparse is None:
-            sparse = isinstance(self.G, BitsetGraph)
+            sparse = isinstance(self.G, (BitsetGraph, CsrGraph))
         self.key, rk = jax.random.split(self.key)
         if not sparse:
             recon, cnt = reconstruct_network(
@@ -746,6 +746,12 @@ class NetworkReconstructor:
                 jnp.asarray(i.astype(np.int32)),
                 jnp.asarray((j // 32).astype(np.int32))].get(mode="clip"))
             return ((words >> (j % 32).astype(np.uint32)) & 1).astype(bool)
+        if isinstance(self.G, CsrGraph):
+            from onmf_ontf_ndl_tpu.samplers.motif import _csr_row_slots
+            slots, ok = _csr_row_slots(self.G, jnp.asarray(
+                i.astype(np.int32)))                   # (E, D)
+            hit = (slots == jnp.asarray(j.astype(np.int32))[:, None]) & ok
+            return np.asarray(jnp.any(hit, axis=1))
         return np.asarray(self.G.adj[jnp.asarray(i), jnp.asarray(j)])
 
     def compute_recons_accuracy(self, G_recons=None):
@@ -763,7 +769,7 @@ class NetworkReconstructor:
                 G_recons_np.dtype != bool:
             # sparse undirected edge list (i < j rows, unique)
             edges = G_recons_np
-            if isinstance(self.G, BitsetGraph):
+            if isinstance(self.G, (BitsetGraph, CsrGraph)):
                 total = int(np.asarray(self.G.deg).sum()) // 2
             else:
                 total = int(np.asarray(self.G.adj).sum()) // 2
@@ -778,6 +784,12 @@ class NetworkReconstructor:
             adj = (np.unpackbits(
                 bits.view(np.uint8), axis=1, bitorder="little")[:, :n]
                 .astype(bool))
+        elif isinstance(self.G, CsrGraph):
+            n = self.G.num_nodes
+            deg = np.asarray(self.G.deg)
+            adj = np.zeros((n, n), bool)
+            adj[np.repeat(np.arange(n), deg),
+                np.asarray(self.G.nbr_flat)] = True
         else:
             adj = np.asarray(self.G.adj)
         rec = np.array(G_recons)  # writable copy

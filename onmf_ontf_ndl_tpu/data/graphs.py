@@ -30,9 +30,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Graph", "BitsetGraph", "graph_from_edgelist",
+__all__ = ["Graph", "BitsetGraph", "CsrGraph", "graph_from_edgelist",
            "graph_from_adjacency", "load_edgelist",
-           "bitset_graph_from_edges", "load_edgelist_bitset"]
+           "bitset_graph_from_edges", "load_edgelist_bitset",
+           "csr_graph_from_edges"]
 
 
 @jax.tree_util.register_dataclass
@@ -237,6 +238,42 @@ class BitsetGraph:
     weight = None
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CsrGraph:
+    """Pure-CSR graph: O(E) memory, no packed adjacency at all. The
+    scaling representation for LOW-DEGREE graphs past the bitset's
+    N^2/32-word HBM ceiling (262,144 nodes on one chip at 8.6 GB): a
+    million-node degree-4 torus costs ~16 MB. Every adjacency query
+    enumerates a node's ascending CSR row and compares — O(max_deg)
+    work — so the samplers dispatch to their candidate-list kernels
+    (``samplers/motif.py``), which for low degree are also the fastest
+    kernels. High-degree graphs should prefer :class:`BitsetGraph` (the
+    candidate Glauber move is O(max_deg^2) per step here and there is
+    no packed fallback). Binary graphs only; same sampler semantics and
+    draw-for-draw identical chains as the other representations
+    (ascending rank-select order, tested)."""
+
+    nbr_flat: jax.Array  # (2E,) int32 CSR neighbors, ascending per row
+    offsets: jax.Array   # (N,) int32 CSR row starts
+    deg: jax.Array       # (N,) int32
+    node_ids: tuple = dataclasses.field(
+        metadata=dict(static=True), default=())
+    max_deg: int = dataclasses.field(
+        metadata=dict(static=True), default=0)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.offsets.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.nbr_flat.shape[0] // 2
+
+    # no weights for the CSR representation
+    weight = None
+
+
 def _intern_edges(edges):
     """First-appearance node interning (the shared load-bearing ordering
     invariant for both graph representations); returns deduped,
@@ -268,6 +305,37 @@ def _intern_edges(edges):
     return e, node_ids
 
 
+def _csr_arrays(e, n):
+    """Shared CSR prep from deduped (E, 2) undirected pairs: directed
+    both ways, then lexsorted by (src, dst) so each row lists its
+    neighbors ASCENDING — the same index order as the packed bitset and
+    the dense nbr table, which makes rank-select draws agree bit for
+    bit across representations."""
+    both = np.concatenate([e, e[:, ::-1]], axis=0)
+    src, dst = both[:, 0], both[:, 1]
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    deg = np.bincount(src, minlength=n).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(deg)[:-1]]).astype(np.int32)
+    return src, dst, deg, offsets
+
+
+def csr_graph_from_edges(edges) -> CsrGraph:
+    """Build a :class:`CsrGraph` from an (E, 2) edge array — O(E) host
+    work and O(E) device memory; the loader for million-node low-degree
+    graphs."""
+    e, node_ids = _intern_edges(edges)
+    n = len(node_ids)
+    _, dst, deg, offsets = _csr_arrays(e, n)
+    return CsrGraph(
+        nbr_flat=jnp.asarray(dst.astype(np.int32)),
+        offsets=jnp.asarray(offsets),
+        deg=jnp.asarray(deg),
+        node_ids=tuple(int(v) for v in node_ids),
+        max_deg=int(deg.max()) if n else 0,
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _scatter_bits(n, words, rows, word_cols, vals):
     return jnp.zeros((n, words), jnp.uint32).at[rows, word_cols].add(vals)
@@ -293,15 +361,7 @@ def bitset_graph_from_edges(edges, *,
     pass True/False to force a path (tests exercise both)."""
     e, node_ids = _intern_edges(edges)
     n = len(node_ids)
-    both = np.concatenate([e, e[:, ::-1]], axis=0)        # directed both ways
-    src, dst = both[:, 0], both[:, 1]
-    # lexsort: each CSR row lists its neighbors ASCENDING — the same
-    # index order as the packed bitset and the dense nbr table, so
-    # rank-select draws agree bit for bit across representations
-    order = np.lexsort((dst, src))
-    src, dst = src[order], dst[order]
-    deg = np.bincount(src, minlength=n).astype(np.int32)
-    offsets = np.concatenate([[0], np.cumsum(deg)[:-1]]).astype(np.int32)
+    src, dst, deg, offsets = _csr_arrays(e, n)
     words = (n + 31) // 32
     if device_build is None:
         device_build = n * words * 4 >= _DEVICE_BUILD_BYTES

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from onmf_ontf_ndl_tpu.data.graphs import BitsetGraph, Graph
+from onmf_ontf_ndl_tpu.data.graphs import BitsetGraph, CsrGraph, Graph
 
 # Glauber kernel selection for BitsetGraph: the candidate-list
 # intersection does O(max_deg) scattered single-word lookups per chain
@@ -89,11 +89,22 @@ def _uniform_neighbor(key: jax.Array, g, x: jax.Array) -> jax.Array:
     isolated (the reference's tree_sample fallback, ``:128-131``)."""
     d = g.deg[x]
     idx = jax.random.randint(key, (), 0, jnp.maximum(d, 1))
-    if isinstance(g, BitsetGraph):
+    if isinstance(g, (BitsetGraph, CsrGraph)):
         y = g.nbr_flat[g.offsets[x] + idx]
     else:
         y = g.nbr[x, idx]
     return jnp.where(d > 0, y, x)
+
+
+def _csr_row_slots(g, u):
+    """Padded CSR rows of (possibly batched) node indices ``u``: returns
+    ``(slots, ok)`` with shapes ``u.shape + (max_deg,)`` — the ascending
+    neighbor candidates of each node and their validity mask."""
+    D = max(g.max_deg, 1)
+    d_idx = jnp.arange(D, dtype=jnp.int32)
+    slots = g.nbr_flat.at[g.offsets[u][..., None] + d_idx].get(mode="clip")
+    ok = d_idx < g.deg[u][..., None]
+    return slots, ok
 
 
 def _bitset_rows(g, idx: jax.Array) -> jax.Array:
@@ -106,14 +117,20 @@ def _bitset_rows(g, idx: jax.Array) -> jax.Array:
 
 
 def _adj_rows(g, emb: jax.Array) -> jax.Array:
-    """(k, N) boolean adjacency rows of the embedded nodes, for either
-    graph representation (bitset rows are unpacked on the fly)."""
+    """(k, N) boolean adjacency rows of the embedded nodes, for any
+    graph representation (bitset rows are unpacked on the fly; CSR rows
+    are scattered into one-hot rows)."""
     if isinstance(g, BitsetGraph):
         n = g.num_nodes
         words = _bitset_rows(g, emb)               # (k, W32)
         shifts = jnp.arange(32, dtype=jnp.uint32)
         bools = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
         return bools.reshape(emb.shape[0], -1)[:, :n].astype(bool)
+    if isinstance(g, CsrGraph):
+        slots, ok = _csr_row_slots(g, emb)         # (k, D)
+        k = emb.shape[0]
+        return jnp.zeros((k, g.num_nodes), bool).at[
+            jnp.arange(k, dtype=jnp.int32)[:, None], slots].max(ok)
     return g.adj[emb]
 
 
@@ -124,6 +141,10 @@ def _pair_matrix(g, emb: jax.Array) -> jax.Array:
         words = g.bits.at[emb[:, None], cols // 32].get(mode="clip")
         bit = (words >> cols.astype(jnp.uint32) % 32) & jnp.uint32(1)
         return bit.astype(jnp.float32)
+    if isinstance(g, CsrGraph):
+        slots, ok = _csr_row_slots(g, emb)         # (k, D)
+        hit = (slots[:, None, :] == emb[None, :, None]) & ok[:, None, :]
+        return jnp.any(hit, axis=-1).astype(jnp.float32)
     return g.adj[emb[:, None], emb[None, :]].astype(jnp.float32)
 
 
@@ -165,6 +186,19 @@ def pair_matrices_T(g, embs: jax.Array, *,
         words = g.bits.at[row, col // 32].get(mode="clip")
         shift = col.astype(jnp.uint32) % 32
         return ((words >> shift) & jnp.uint32(1)).astype(jnp.float32)
+    if isinstance(g, CsrGraph):
+        # membership by candidate-row compare, with the slot axis kept
+        # in the MIDDLE — (k*k, D, M) — so the sample axis stays minor
+        # (a (.., M, D) layout with D ~ 4 would pad the minor dim to a
+        # full 128-lane tile: the same 32x blowup pair_matrices_T
+        # exists to avoid)
+        D = max(g.max_deg, 1)
+        d_idx = jnp.arange(D, dtype=jnp.int32)[None, :, None]
+        off = g.offsets.at[row].get(mode="clip")           # (k*k, M)
+        slots = g.nbr_flat.at[off[:, None, :] + d_idx].get(mode="clip")
+        ok = d_idx < g.deg.at[row].get(mode="clip")[:, None, :]
+        hit = (slots == col[:, None, :]) & ok              # (k*k, D, M)
+        return jnp.any(hit, axis=1).astype(jnp.float32)
     return g.adj.at[row, col].get(mode="clip").astype(jnp.float32)
 
 
@@ -289,21 +323,25 @@ def glauber_update(key: jax.Array, B: np.ndarray, parents: tuple[int, ...],
     sel_idx = tbl[j]                                  # (max_deg,)
     valid = sel_idx >= 0
     imgs = emb[jnp.maximum(sel_idx, 0)]               # images of constraints
-    if isinstance(g, BitsetGraph) and 0 < g.max_deg * \
-            _CANDIDATE_DEG_FACTOR <= g.words_per_row and valid.shape[0] > 0:
+    use_candidates = valid.shape[0] > 0 and (
+        isinstance(g, CsrGraph)
+        or (isinstance(g, BitsetGraph)
+            and 0 < g.max_deg * _CANDIDATE_DEG_FACTOR <= g.words_per_row))
+    if use_candidates:
         # candidate-list intersection for LOW-DEGREE graphs: the common
         # neighbors of the constraint images are a subset of the FIRST
         # valid constraint's neighbor list, so enumerate its <= max_deg
-        # CSR candidates and test each against the other constraints
-        # with single-word bitset lookups — O(max_deg) work per chain
-        # step instead of O(N/32) packed words. At the 512^2 torus
-        # (degree 4, 8192 words/row) this is the difference between the
-        # chain scan dominating the reconstruction and vanishing from
-        # it. CSR rows are ascending (data/graphs.py lexsort), so the
+        # CSR candidates and test each against the other constraints —
+        # single-word bitset lookups for a BitsetGraph, CSR row
+        # compares for a CsrGraph — O(max_deg) work per chain step
+        # instead of O(N/32) packed words. At the 512^2 torus (degree
+        # 4, 8192 words/row) this is the difference between the chain
+        # scan dominating the reconstruction and vanishing from it.
+        # CSR rows are ascending (data/graphs.py lexsort), so the
         # rank-select draw picks the same element as the packed/dense
         # kernels for the same key — identical draws, tested.
         n = g.num_nodes
-        D = g.max_deg
+        D = max(g.max_deg, 1)
         first = jnp.argmax(valid)                     # first valid slot
         c0 = imgs[first]
         cand = g.nbr_flat.at[
@@ -311,9 +349,15 @@ def glauber_update(key: jax.Array, B: np.ndarray, parents: tuple[int, ...],
         ok = jnp.arange(D) < g.deg[c0]
         for t in range(valid.shape[0]):               # static, tiny
             active = valid[t] & (jnp.int32(t) != first)
-            word = g.bits.at[imgs[t], cand // 32].get(mode="clip")
-            member = (word >> cand.astype(jnp.uint32) % 32) & jnp.uint32(1)
-            ok = ok & ((member > 0) | ~active)
+            if isinstance(g, BitsetGraph):
+                word = g.bits.at[imgs[t], cand // 32].get(mode="clip")
+                member = ((word >> cand.astype(jnp.uint32) % 32)
+                          & jnp.uint32(1)) > 0
+            else:
+                rowt, okt = _csr_row_slots(g, imgs[t])    # (D,)
+                member = jnp.any(
+                    (rowt[None, :] == cand[:, None]) & okt[None, :], axis=1)
+            ok = ok & (member | ~active)
         # no valid constraint at all (edgeless motif): empty candidate
         # set -> the fallback's uniform-over-[0, n) draw, matching the
         # reference's unconstrained resample

@@ -448,3 +448,51 @@ def test_glauber_candidate_kernel_matches_dense_draws():
         return out
     np.testing.assert_array_equal(np.asarray(chain(gd)),
                                   np.asarray(chain(gb)))
+
+
+def test_csr_graph_matches_dense_everywhere():
+    """CsrGraph (pure O(E) representation) must agree with the dense
+    representation on every sampler surface — identical glauber draws
+    (same ascending rank-select order), identical pair matrices and
+    adjacency rows, equal metadata."""
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+    from onmf_ontf_ndl_tpu.samplers.motif import (
+        _adj_rows, _pair_matrix, pair_matrices_T)
+
+    n = 2048
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(i, (i + 7) % n) for i in range(0, n, 3)]
+    gd = graph_from_edgelist(np.asarray(edges))
+    gc = csr_graph_from_edges(np.asarray(edges))
+    assert gd.node_ids == gc.node_ids
+    assert gd.num_edges == gc.num_edges
+    assert gc.max_deg == int(np.asarray(gd.deg).max())
+
+    emb = jnp.asarray([0, 3, 7, 12], jnp.int32)
+    np.testing.assert_array_equal(np.asarray(_adj_rows(gd, emb)),
+                                  np.asarray(_adj_rows(gc, emb)))
+    np.testing.assert_array_equal(np.asarray(_pair_matrix(gd, emb)),
+                                  np.asarray(_pair_matrix(gc, emb)))
+
+    rng = np.random.default_rng(2)
+    embs = jnp.asarray(rng.integers(0, n, (500, 3)), jnp.int32)
+    np.testing.assert_array_equal(np.asarray(pair_matrices_T(gd, embs)),
+                                  np.asarray(pair_matrices_T(gc, embs)))
+
+    B = path_adj(0, 2)
+    parents = tree_parents(B)
+    emb0 = jnp.asarray([0, 1, 2], jnp.int32)
+    keys = jax.random.split(jax.random.key(5), 4000)
+    outs_d = jax.vmap(lambda k: glauber_update(k, B, parents, gd, emb0))(keys)
+    outs_c = jax.vmap(lambda k: glauber_update(k, B, parents, gc, emb0))(keys)
+    np.testing.assert_array_equal(np.asarray(outs_d), np.asarray(outs_c))
+
+    def chain(g):
+        def step(emb, k):
+            emb = glauber_update(k, B, parents, g, emb)
+            return emb, emb
+        _, out = jax.lax.scan(step, emb0, jax.random.split(
+            jax.random.key(9), 500))
+        return out
+    np.testing.assert_array_equal(np.asarray(chain(gd)),
+                                  np.asarray(chain(gc)))

@@ -298,3 +298,36 @@ def test_group_painted_both_sort_paths():
             gs, gc = got[pair]
             assert gc == c
             np.testing.assert_allclose(gs, s, rtol=1e-12)
+
+
+def test_csr_graph_ndl_end_to_end():
+    """NetworkReconstructor over a CsrGraph: train + sparse
+    reconstruction + accuracy, the O(E)-memory path for million-node
+    low-degree graphs (tiny torus here)."""
+    import jax.numpy as jnp
+    from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+
+    m = 16
+    edges = []
+    for i in range(m):
+        for j in range(m):
+            u = i * m + j
+            edges.append((u, ((i + 1) % m) * m + j))
+            edges.append((u, i * m + (j + 1) % m))
+    g = csr_graph_from_edges(edges)
+    assert g.num_nodes == 256 and g.max_deg == 4
+
+    rec = NetworkReconstructor(source=g, n_components=16,
+                               MCMC_iterations=12, sub_iterations=20,
+                               sample_size=200, batch_size=50, k1=0,
+                               k2=2, num_chains=8, fast=True, seed=0)
+    rec.train_dict()
+    edges_out = rec.reconstruct_network(recons_iter=20000, num_chains=64)
+    assert edges_out.ndim == 2 and edges_out.shape[1] == 2
+    acc = float(rec.compute_recons_accuracy())
+    assert acc > 0.9
+
+    # has_edge agrees with the true torus structure on the found edges
+    he = rec.has_edge(edges_out[:, 0], edges_out[:, 1])
+    assert he.mean() > 0.9
