@@ -311,3 +311,37 @@ def test_dp_sparse_recon_virtual_mesh():
     assert acc_dp > 0.5, acc_dp
     assert abs(acc_dp - acc_single) < 0.2, (acc_dp, acc_single)
     np.testing.assert_array_equal(edges, run())
+
+
+def test_dp_sparse_recon_csr_graph():
+    """The chain-sharded DP reconstruction replicates a CsrGraph (pure
+    O(E) representation) across the mesh and merges exactly — the
+    multi-chip path for million-node low-degree graphs."""
+    from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+    from onmf_ontf_ndl_tpu.parallel.dp import dp_recons_edges
+
+    m = 12
+    edges = []
+    for i in range(m):
+        for j in range(m):
+            u = i * m + j
+            edges.append((u, ((i + 1) % m) * m + j))
+            edges.append((u, i * m + (j + 1) % m))
+    g = csr_graph_from_edges(edges)
+    rec = NetworkReconstructor(
+        source=g, n_components=16, MCMC_iterations=8, sub_iterations=10,
+        sample_size=100, batch_size=20, k1=0, k2=2,
+        dtype=jnp.float64,
+    )
+    rec.train_dict()
+
+    mesh = make_mesh({"dp": 8})
+    run = lambda: dp_recons_edges(
+        mesh, rec.state.W, g, jax.random.key(7), rec._B_bytes,
+        rec._parents, recons_iter_per_device=2000,
+        num_chains_per_device=8, sub_iter=30, use_glauber=True)
+    edges_dp = run()
+    acc_dp = rec.compute_recons_accuracy(G_recons=edges_dp)
+    assert acc_dp > 0.9, acc_dp
+    np.testing.assert_array_equal(edges_dp, run())
