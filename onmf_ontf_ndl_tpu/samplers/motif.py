@@ -187,18 +187,25 @@ def pair_matrices_T(g, embs: jax.Array, *,
         shift = col.astype(jnp.uint32) % 32
         return ((words >> shift) & jnp.uint32(1)).astype(jnp.float32)
     if isinstance(g, CsrGraph):
-        # membership by candidate-row compare, with the slot axis kept
-        # in the MIDDLE — (k*k, D, M) — so the sample axis stays minor
-        # (a (.., M, D) layout with D ~ 4 would pad the minor dim to a
-        # full 128-lane tile: the same 32x blowup pair_matrices_T
-        # exists to avoid)
+        # membership by candidate-row compare. The CSR row (offset, deg,
+        # D neighbor slots) is gathered once per motif NODE — (D, k, M),
+        # k rows — and every ordered pair (q, r) tests eT[r] against
+        # node q's slots by broadcast compare: the k^2-pair form
+        # gathered the same rows per ORDERED PAIR, 3x the elements, and
+        # the gather traffic is the measured wall of CSR reconstruction
+        # (262k-node torus: 9.5 s -> the per-node form; values
+        # identical). Slot axis OUTERMOST, sample axis minor — a
+        # (.., M, D) layout with D ~ 4 would pad the minor dim to a
+        # full 128-lane tile (the 32x blowup this function exists to
+        # avoid).
         D = max(g.max_deg, 1)
-        d_idx = jnp.arange(D, dtype=jnp.int32)[None, :, None]
-        off = g.offsets.at[row].get(mode="clip")           # (k*k, M)
-        slots = g.nbr_flat.at[off[:, None, :] + d_idx].get(mode="clip")
-        ok = d_idx < g.deg.at[row].get(mode="clip")[:, None, :]
-        hit = (slots == col[:, None, :]) & ok              # (k*k, D, M)
-        return jnp.any(hit, axis=1).astype(jnp.float32)
+        d_idx = jnp.arange(D, dtype=jnp.int32)[:, None, None]
+        off = g.offsets.at[eT].get(mode="clip")            # (k, M)
+        slots = g.nbr_flat.at[off[None] + d_idx].get(mode="clip")
+        ok = d_idx < g.deg.at[eT].get(mode="clip")[None]   # (D, k, M)
+        hit = ((slots[:, :, None, :] == eT[None, None, :, :])
+               & ok[:, :, None, :])                        # (D, k, k, M)
+        return jnp.any(hit, axis=0).reshape(k * k, M).astype(jnp.float32)
     return g.adj.at[row, col].get(mode="clip").astype(jnp.float32)
 
 
