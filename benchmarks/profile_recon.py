@@ -88,7 +88,7 @@ def main():
             reconstruct_network_sparse, W, g, jax.random.key(0),
             B.astype(np.int8).tobytes(), parents,
             recons_iter=samples, alpha=0.0, sub_iter=30,
-            use_glauber=True, num_chains=chains)
+            use_glauber=True, num_chains=chains, include_self=False)
         t_whole, _ = steady(lambda: (lambda r: (fence(r[2]), r)[1])(run()))
         print(f"whole sparse recon {t_whole:7.2f}s", file=sys.stderr)
         return
@@ -117,7 +117,8 @@ def main():
         vals_T = W @ H
         if upto == 2:
             return jnp.sum(vals_T)
-        ii, jj, sums, cnt = _group_painted(embs, vals_T, g.num_nodes)
+        ii, jj, sums, cnt = _group_painted(embs, vals_T, g.num_nodes,
+                                           include_self=False)
         return jnp.sum(sums) + jnp.sum(cnt)
 
     jitted = jax.jit(pipeline, static_argnames=("upto",))

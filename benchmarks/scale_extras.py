@@ -26,13 +26,20 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def torus_edges(m):
-    edges = []
-    for i in range(m):
-        for j in range(m):
-            u = i * m + j
-            edges.append((u, ((i + 1) % m) * m + j))
-            edges.append((u, i * m + (j + 1) % m))
-    return edges
+    # vectorized, preserving the per-node (down, right) edge order of
+    # the obvious double loop exactly — node interning in the graph
+    # builders is first-appearance, so edge ORDER determines node ids
+    # and hence the seeded chain draws of the standing records
+    u = np.arange(m * m, dtype=np.int64).reshape(m, m)
+    src = u.reshape(-1)
+    down = np.roll(u, -1, axis=0).reshape(-1)
+    right = np.roll(u, -1, axis=1).reshape(-1)
+    e = np.empty((2 * m * m, 2), np.int64)
+    e[0::2, 0] = src
+    e[0::2, 1] = down
+    e[1::2, 0] = src
+    e[1::2, 1] = right
+    return e
 
 
 def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096,

@@ -252,7 +252,8 @@ def _recon_sample_vals(W, g, key, B_bytes, parents, recons_iter, alpha,
 @functools.partial(
     jax.jit,
     static_argnames=("B_bytes", "parents", "recons_iter", "use_glauber",
-                     "weighted", "sub_iter", "num_chains", "method"),
+                     "weighted", "sub_iter", "num_chains", "method",
+                     "include_self"),
 )
 def reconstruct_network_sparse(
     W: jax.Array,
@@ -268,6 +269,7 @@ def reconstruct_network_sparse(
     weighted: bool = False,
     num_chains: int = 1,
     method: str = "bcd",
+    include_self: bool = True,
 ):
     """Memory-scalable reconstruction: per-edge segment means instead of
     dense (N, N) canvases.
@@ -285,20 +287,24 @@ def reconstruct_network_sparse(
     sums — no dynamic shapes (the unique count stays implicit; unused
     slots have count 0).
 
-    Returns ``(ii, jj, mean, cnt)``, each of length ``recons_iter*k^2``:
-    for slots with ``cnt > 0``, the mean painted value of directed pair
-    ``(ii, jj)``; slots with ``cnt == 0`` are padding. The rounded simple
-    graph consists of pairs with ``round(mean) > 0``.
+    Returns ``(ii, jj, mean, cnt)``, each of length ``recons_iter*k^2``
+    (``recons_iter*k*(k-1)`` with ``include_self=False``, which drops
+    the self-pair slots that the simple-graph rounding discards anyway —
+    see :func:`_group_painted`): for slots with ``cnt > 0``, the mean
+    painted value of directed pair ``(ii, jj)``; slots with ``cnt == 0``
+    are padding. The rounded simple graph consists of pairs with
+    ``round(mean) > 0``.
     """
     embs, vals_T = _recon_sample_vals(
         W, g, key, B_bytes, parents, recons_iter, alpha, sub_iter,
         use_glauber, weighted, num_chains, method)
-    out_i, out_j, sums, cnt = _group_painted(embs, vals_T, g.num_nodes)
+    out_i, out_j, sums, cnt = _group_painted(embs, vals_T, g.num_nodes,
+                                             include_self=include_self)
     mean = sums / jnp.maximum(cnt, 1.0)
     return out_i, out_j, mean, cnt
 
 
-def _group_painted(embs, vals_T, n):
+def _group_painted(embs, vals_T, n, include_self=True):
     """Group the painted per-sample pair values by (i, j) node pair.
 
     ``embs`` (M, k) int32, ``vals_T`` (k*k, M). Returns
@@ -309,7 +315,15 @@ def _group_painted(embs, vals_T, n):
     the two-key path). Sums+counts — not means — so shards of
     a chain ensemble can be merged exactly downstream (the global mean
     is ``sum(sums)/sum(cnt)`` over shards; a mean cannot be re-weighted
-    without the counts)."""
+    without the counts).
+
+    ``include_self=False`` drops the k diagonal (q == q) pair slots
+    before grouping — arrays shrink to ``M*k*(k-1)``. Self-pair means
+    only ever produce self-loops, which the simple-graph rounding drops
+    (``network_reconstruction_nx.py:501-508``; no representation here
+    stores self-loops), so the EDGES consumers use this form — the
+    grouping sort is a measured ~30% of large sparse reconstructions
+    and the diagonal is a third of it."""
     M, k = embs.shape
 
     # pair-major flat order (q, r, m) — matches vals_T's (k*k, M) layout
@@ -317,10 +331,17 @@ def _group_painted(embs, vals_T, n):
     # sample-major (M, k, k) form would materialize tiny-minor-dim
     # intermediates that XLA pads ~43x (see _recon_sample_vals)
     eT = embs.T                                       # (k, M)
-    ii = jnp.broadcast_to(eT[:, None, :], (k, k, M)).reshape(-1)
-    jj = jnp.broadcast_to(eT[None, :, :], (k, k, M)).reshape(-1)
-    vv = vals_T.reshape(-1)
-    total = M * k * k
+    if include_self:
+        ii = jnp.broadcast_to(eT[:, None, :], (k, k, M)).reshape(-1)
+        jj = jnp.broadcast_to(eT[None, :, :], (k, k, M)).reshape(-1)
+        vv = vals_T.reshape(-1)
+    else:
+        qs = np.asarray([q for q in range(k) for r in range(k) if q != r])
+        rs = np.asarray([r for q in range(k) for r in range(k) if q != r])
+        ii = eT[qs].reshape(-1)                       # (k*(k-1)*M,)
+        jj = eT[rs].reshape(-1)
+        vv = vals_T[qs * k + rs].reshape(-1)
+    total = ii.shape[0]
 
     # group by (i, j): sort with the painted values as a PAYLOAD operand
     # of lax.sort — one fused sort, no post-sort gathers (an argsort +
@@ -379,6 +400,17 @@ def _pack_recon_edges(ii, jj, mean, cnt, n):
     return jnp.sort(packed), jnp.sum(keep)
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def _kept_pairs(ii, jj, mean, cnt, size):
+    """Compact the kept directed pairs (rounded mean > 0) to a prefix of
+    a ``size``-slot buffer via a sized ``nonzero`` — no sort, works for
+    any n. Slots past the kept count are filled with the (0, 0) pair
+    (never fetched: callers slice to the true count first)."""
+    keep = (cnt > 0) & (jnp.round(mean) > 0)
+    idx = jnp.nonzero(keep, size=size, fill_value=0)[0]
+    return ii[idx], jj[idx]
+
+
 def _edges_from_sparse_result(ii, jj, mean, cnt, n):
     """Host-side simple-graph edges from a `reconstruct_network_sparse`
     result, minimizing host-link bytes.
@@ -389,20 +421,26 @@ def _edges_from_sparse_result(ii, jj, mean, cnt, n):
     ship only that prefix (~1/4 the bytes of the three-array prefix
     fetch over the ~MB/s axon host link). The all-ones sentinel can only
     collide with the (n-1, n-1) self-pair, which the simple-graph filter
-    drops anyway. Beyond 65536 nodes i*n+j wraps mod 2^32, so fall back
-    to prefix-fetching the index and mean arrays (real segments occupy a
-    contiguous prefix because segment ids are a cumsum; every prefix
-    segment has cnt >= 1 by construction)."""
+    drops anyway. Beyond 65536 nodes i*n+j wraps mod 2^32; there,
+    compact the KEPT pairs to a prefix on device (sized ``nonzero`` —
+    no sort) and ship only those two prefixes: the kept count is ~the
+    true directed edge count, an order of magnitude below the distinct
+    painted-pair count whose three full prefix arrays this path used to
+    fetch (measured at the 1M-node torus: the fetch was ~2/3 of the
+    14.7 s reconstruction wall)."""
     if n <= 65536:
         packed, n_keep = _pack_recon_edges(ii, jj, mean, cnt, n)
         pk = np.asarray(packed[:int(n_keep)]).astype(np.int64)
         pi, pj = pk // n, pk % n
     else:
-        n_seg = int(jnp.sum(cnt > 0))
-        pi = np.asarray(ii[:n_seg]).astype(np.int64)
-        pj = np.asarray(jj[:n_seg]).astype(np.int64)
-        keep = np.round(np.asarray(mean[:n_seg])) > 0
-        pi, pj = pi[keep], pj[keep]
+        n_keep = int(jnp.sum((cnt > 0) & (jnp.round(mean) > 0)))
+        # pad the compaction size to the next power of two so repeat
+        # reconstructions at similar scales reuse the jit cache
+        size = max(1024, 1 << (max(n_keep, 1) - 1).bit_length())
+        size = min(size, ii.shape[0])
+        ki, kj = _kept_pairs(ii, jj, mean, cnt, size)
+        pi = np.asarray(ki[:n_keep]).astype(np.int64)
+        pj = np.asarray(kj[:n_keep]).astype(np.int64)
     return _undirected_simple_edges(pi, pj)
 
 
@@ -410,10 +448,19 @@ def _undirected_simple_edges(pi, pj):
     """Host-side simple-graph fold shared by the single-device and DP
     reconstruction paths: directed kept pairs -> sorted unique
     undirected edges, self-loops dropped (the reference's rounding to a
-    simple graph, ``network_reconstruction_nx.py:501-508``)."""
+    simple graph, ``network_reconstruction_nx.py:501-508``).
+
+    Dedup via a packed 64-bit key + 1-D ``np.unique`` — the structured
+    ``np.unique(axis=0)`` sorts rows ~10x slower and was a measured
+    multi-second host phase of million-node reconstructions (this host
+    has one core). Same output: (lo << 32) | hi orders identically to
+    (lo, hi) lexicographic for node ids < 2^31."""
     lo, hi = np.minimum(pi, pj), np.maximum(pi, pj)
     off_diag = lo != hi
-    return np.unique(np.stack([lo[off_diag], hi[off_diag]], axis=1), axis=0)
+    key = (lo[off_diag].astype(np.int64) << 32) | hi[off_diag].astype(
+        np.int64)
+    uk = np.unique(key)
+    return np.stack([uk >> 32, uk & 0xFFFFFFFF], axis=1)
 
 
 class NetworkReconstructor:
@@ -637,6 +684,9 @@ class NetworkReconstructor:
             use_glauber=self.is_glauber_recons,
             weighted=self.weighted_patches, num_chains=num_chains,
             method=self.coder,
+            # self-pair means only ever produce self-loops, which the
+            # simple-graph edges drop — skip a third of the grouping sort
+            include_self=False,
         )
         edges = _edges_from_sparse_result(ii, jj, mean, cnt,
                                           self.G.num_nodes)

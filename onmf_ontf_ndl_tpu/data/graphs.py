@@ -221,6 +221,8 @@ class BitsetGraph:
     # with a (max_deg,)-shaped slot axis (samplers/motif.py)
     max_deg: int = dataclasses.field(
         metadata=dict(static=True), default=0)
+    # optional padded-row fast path — see CsrGraph.nbr_pad_T
+    nbr_pad_T: jax.Array | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -261,6 +263,16 @@ class CsrGraph:
         metadata=dict(static=True), default=())
     max_deg: int = dataclasses.field(
         metadata=dict(static=True), default=0)
+    # Optional padded-row fast path: (max_deg, N) int32, column u =
+    # u's ascending neighbors, padded with N (matches no real node).
+    # One gather replaces the (offsets, deg, nbr_flat) triple and the
+    # validity mask — gathered-element count is the measured cost of
+    # TPU gathers (~18-20 ns/element), and adjacency queries drop from
+    # 2 + max_deg to max_deg elements per row. Stored TRANSPOSED so
+    # batched gathers land (D, ..., M) with the sample axis minor
+    # (pair_matrices_T layout rule). Built when the padded table is
+    # small (low-degree graphs — the CsrGraph regime); None otherwise.
+    nbr_pad_T: jax.Array | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -320,19 +332,40 @@ def _csr_arrays(e, n):
     return src, dst, deg, offsets
 
 
+# padded-table budget: (max_deg, N) int32 — for near-regular low-degree
+# graphs this is ~the CSR arrays' own size; for skewed degree
+# distributions it can blow up N*max_deg-fold, so it is gated by bytes
+# and the gather paths fall back to the CSR triple when absent
+_PAD_TABLE_BYTES = 256 << 20
+
+
+def _build_nbr_pad_T(src, dst, deg, offsets, n, max_deg):
+    """(max_deg, N) int32 padded neighbor table (pad value N), ascending
+    per column — same neighbor order as the CSR rows."""
+    tbl = np.full((max(max_deg, 1), n), n, np.int32)
+    pos = np.arange(len(dst), dtype=np.int64) - offsets.astype(np.int64)[src]
+    tbl[pos, src] = dst
+    return jnp.asarray(tbl)
+
+
 def csr_graph_from_edges(edges) -> CsrGraph:
     """Build a :class:`CsrGraph` from an (E, 2) edge array — O(E) host
     work and O(E) device memory; the loader for million-node low-degree
     graphs."""
     e, node_ids = _intern_edges(edges)
     n = len(node_ids)
-    _, dst, deg, offsets = _csr_arrays(e, n)
+    src, dst, deg, offsets = _csr_arrays(e, n)
+    max_deg = int(deg.max()) if n else 0
+    pad = None
+    if n and 0 < max_deg * n * 4 <= _PAD_TABLE_BYTES:
+        pad = _build_nbr_pad_T(src, dst, deg, offsets, n, max_deg)
     return CsrGraph(
         nbr_flat=jnp.asarray(dst.astype(np.int32)),
         offsets=jnp.asarray(offsets),
         deg=jnp.asarray(deg),
         node_ids=tuple(int(v) for v in node_ids),
-        max_deg=int(deg.max()) if n else 0,
+        max_deg=max_deg,
+        nbr_pad_T=pad,
     )
 
 
@@ -386,13 +419,18 @@ def bitset_graph_from_edges(edges, *,
         np.bitwise_or.at(host_bits, (src, dst // 32),
                          np.uint32(1) << (dst % 32).astype(np.uint32))
         bits = jnp.asarray(host_bits)
+    max_deg = int(deg.max()) if n else 0
+    pad = None
+    if n and 0 < max_deg * n * 4 <= _PAD_TABLE_BYTES:
+        pad = _build_nbr_pad_T(src, dst, deg, offsets, n, max_deg)
     return BitsetGraph(
         bits=bits,
         nbr_flat=jnp.asarray(dst.astype(np.int32)),
         offsets=jnp.asarray(offsets),
         deg=jnp.asarray(deg),
         node_ids=tuple(int(v) for v in node_ids),
-        max_deg=int(deg.max()) if n else 0,
+        max_deg=max_deg,
+        nbr_pad_T=pad,
     )
 
 

@@ -356,7 +356,8 @@ def dp_ndl_train(
 
 @functools.lru_cache(maxsize=64)
 def _dp_recon_fn(mesh, B_bytes, parents, recons_iter_pd, sub_iter,
-                 use_glauber, weighted, chains_pd, method, axis):
+                 use_glauber, weighted, chains_pd, method, axis,
+                 include_self=True):
     from onmf_ontf_ndl_tpu.apps.network import (_group_painted,
                                                 _recon_sample_vals)
 
@@ -365,7 +366,8 @@ def _dp_recon_fn(mesh, B_bytes, parents, recons_iter_pd, sub_iter,
         embs, vals_T = _recon_sample_vals(
             W, g, key, B_bytes, parents, recons_iter_pd, alpha, sub_iter,
             use_glauber, weighted, chains_pd, method)
-        ii, jj, sums, cnt = _group_painted(embs, vals_T, g.num_nodes)
+        ii, jj, sums, cnt = _group_painted(embs, vals_T, g.num_nodes,
+                                           include_self=include_self)
         n_seg = jnp.sum(cnt > 0).astype(jnp.int32)[None]
         return ii, jj, sums, cnt, n_seg
 
@@ -393,6 +395,7 @@ def dp_reconstruct_network_sparse(
     weighted: bool = False,
     method: str = "bcd",
     axis: str = "dp",
+    include_self: bool = True,
 ):
     """Chain-sharded sparse network reconstruction over a device mesh.
 
@@ -421,7 +424,8 @@ def dp_reconstruct_network_sparse(
     """
     run = _dp_recon_fn(mesh, B_bytes, parents, int(recons_iter_per_device),
                        int(sub_iter), bool(use_glauber), bool(weighted),
-                       int(num_chains_per_device), method, axis)
+                       int(num_chains_per_device), method, axis,
+                       bool(include_self))
     return run(W, g, key, jnp.asarray(alpha, W.dtype))
 
 
@@ -472,6 +476,9 @@ def dp_recons_edges(mesh, W, g, key, B_bytes, parents, **kwargs):
     ``NetworkReconstructor.recons_edges`` semantics."""
     from onmf_ontf_ndl_tpu.apps.network import _undirected_simple_edges
 
+    # self-pairs only ever produce self-loops, which the simple-graph
+    # edges drop — skip a third of each shard's grouping sort
+    kwargs.setdefault("include_self", False)
     ii, jj, sums, cnt, n_seg = dp_reconstruct_network_sparse(
         mesh, W, g, key, B_bytes, parents, **kwargs)
     pi, pj, mean, _ = merge_recon_shards(ii, jj, sums, cnt, n_seg,

@@ -89,7 +89,10 @@ def _uniform_neighbor(key: jax.Array, g, x: jax.Array) -> jax.Array:
     isolated (the reference's tree_sample fallback, ``:128-131``)."""
     d = g.deg[x]
     idx = jax.random.randint(key, (), 0, jnp.maximum(d, 1))
-    if isinstance(g, (BitsetGraph, CsrGraph)):
+    pad = getattr(g, "nbr_pad_T", None)
+    if pad is not None:
+        y = pad[idx, x]          # idx < deg(x): never reads a pad slot
+    elif isinstance(g, (BitsetGraph, CsrGraph)):
         y = g.nbr_flat[g.offsets[x] + idx]
     else:
         y = g.nbr[x, idx]
@@ -99,8 +102,16 @@ def _uniform_neighbor(key: jax.Array, g, x: jax.Array) -> jax.Array:
 def _csr_row_slots(g, u):
     """Padded CSR rows of (possibly batched) node indices ``u``: returns
     ``(slots, ok)`` with shapes ``u.shape + (max_deg,)`` — the ascending
-    neighbor candidates of each node and their validity mask."""
+    neighbor candidates of each node and their validity mask. Uses the
+    padded ``nbr_pad_T`` table when the graph carries one (one gather of
+    ``max_deg`` elements per row instead of offset + deg + slots —
+    gathered-element count is the measured cost of TPU gathers); valid
+    slots are identical either way, so draws are too."""
     D = max(g.max_deg, 1)
+    pad = getattr(g, "nbr_pad_T", None)
+    if pad is not None:
+        slots = jnp.moveaxis(pad.at[:, u].get(mode="clip"), 0, -1)
+        return slots, slots != g.num_nodes
     d_idx = jnp.arange(D, dtype=jnp.int32)
     slots = g.nbr_flat.at[g.offsets[u][..., None] + d_idx].get(mode="clip")
     ok = d_idx < g.deg[u][..., None]
@@ -182,19 +193,29 @@ def pair_matrices_T(g, embs: jax.Array, *,
         if getattr(g, "weight", None) is None:
             raise ValueError("weighted patches need a weighted Graph")
         return g.weight.at[row, col].get(mode="clip").astype(jnp.float32)
+    pad = getattr(g, "nbr_pad_T", None)
+    if pad is not None:
+        # padded-row membership (CSR and bitset alike): ONE gather of
+        # the (D, k, M) per-NODE slot block + broadcast compare — see
+        # the CsrGraph branch below for the layout rules. Measured at
+        # the 1M-node torus: 0.35 s vs 6.2 s for the CSR-triple
+        # per-node form and ~2x the bitset word-gather form.
+        slots = pad.at[:, eT].get(mode="clip")             # (D, k, M)
+        hit = slots[:, :, None, :] == eT[None, None, :, :]
+        return jnp.any(hit, axis=0).reshape(k * k, M).astype(jnp.float32)
     if isinstance(g, BitsetGraph):
         words = g.bits.at[row, col // 32].get(mode="clip")
         shift = col.astype(jnp.uint32) % 32
         return ((words >> shift) & jnp.uint32(1)).astype(jnp.float32)
     if isinstance(g, CsrGraph):
-        # membership by candidate-row compare. The CSR row (offset, deg,
-        # D neighbor slots) is gathered once per motif NODE — (D, k, M),
-        # k rows — and every ordered pair (q, r) tests eT[r] against
-        # node q's slots by broadcast compare: the k^2-pair form
-        # gathered the same rows per ORDERED PAIR, 3x the elements, and
-        # the gather traffic is the measured wall of CSR reconstruction
-        # (262k-node torus: 9.5 s -> the per-node form; values
-        # identical). Slot axis OUTERMOST, sample axis minor — a
+        # CSR-triple fallback (no padded table — high-degree/skewed
+        # graphs): membership by candidate-row compare, rows gathered
+        # once per motif NODE — (D, k, M), k rows — and every ordered
+        # pair (q, r) tests eT[r] against node q's slots by broadcast
+        # compare. (The k^2-pair form gathered the same rows per
+        # ORDERED PAIR, 3x the elements — the measured wall of CSR
+        # reconstruction at the 262k-node torus, 9.5 s; values
+        # identical.) Slot axis OUTERMOST, sample axis minor — a
         # (.., M, D) layout with D ~ 4 would pad the minor dim to a
         # full 128-lane tile (the 32x blowup this function exists to
         # avoid).
@@ -348,12 +369,9 @@ def glauber_update(key: jax.Array, B: np.ndarray, parents: tuple[int, ...],
         # rank-select draw picks the same element as the packed/dense
         # kernels for the same key — identical draws, tested.
         n = g.num_nodes
-        D = max(g.max_deg, 1)
         first = jnp.argmax(valid)                     # first valid slot
         c0 = imgs[first]
-        cand = g.nbr_flat.at[
-            g.offsets[c0] + jnp.arange(D, dtype=jnp.int32)].get(mode="clip")
-        ok = jnp.arange(D) < g.deg[c0]
+        cand, ok = _csr_row_slots(g, c0)              # (D,), (D,)
         for t in range(valid.shape[0]):               # static, tiny
             active = valid[t] & (jnp.int32(t) != first)
             if isinstance(g, BitsetGraph):
