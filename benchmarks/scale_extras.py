@@ -43,7 +43,7 @@ def torus_edges(m):
 
 
 def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096,
-                  use_csr=False):
+                  use_csr=False, chunks=1, cap=None):
     from run_all import fence, steady   # shared fencing/steady helpers
     from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
     from onmf_ontf_ndl_tpu.data.graphs import (
@@ -76,18 +76,22 @@ def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096,
     rec.train_dict(); fence(rec.W)
     t_train = time.time() - t0
     t_rec, _ = steady(lambda: rec.reconstruct_network(
-        recons_iter=recons_iter, num_chains=num_chains))
+        recons_iter=recons_iter, num_chains=num_chains, chunks=chunks,
+        cap=cap))
     # accuracy OUTSIDE the timer (host-link traffic; same methodology
     # as run_all's network benches)
     acc = float(rec.compute_recons_accuracy())
     print(f"train {t_train:.1f}s  recon {t_rec:.1f}s  accuracy {acc:.4f}",
           file=sys.stderr)
-    return {"nodes": int(g.num_nodes), "edges": int(g.num_edges),
-            "repr": "csr" if use_csr else "bitset",
-            "load_s": round(t_load, 2), "train_s": round(t_train, 2),
-            "recon_s": round(t_rec, 2), "recons_accuracy": round(acc, 4),
-            "recon_samples_m": round(recons_iter / 1e6, 1),
-            "recon_chains": num_chains}
+    out = {"nodes": int(g.num_nodes), "edges": int(g.num_edges),
+           "repr": "csr" if use_csr else "bitset",
+           "load_s": round(t_load, 2), "train_s": round(t_train, 2),
+           "recon_s": round(t_rec, 2), "recons_accuracy": round(acc, 4),
+           "recon_samples_m": round(recons_iter / 1e6, 1),
+           "recon_chains": num_chains}
+    if chunks > 1:
+        out["recon_chunks"] = chunks
+    return out
 
 
 def soak_500k():
@@ -195,6 +199,16 @@ def main():
                     help="override the reconstruction sample budget")
     ap.add_argument("--chains", type=int, default=None,
                     help="override the recon chain-ensemble width")
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="fold the recon budget through the chunked "
+                         "accumulator (sample budgets beyond HBM; "
+                         "apps/network.py "
+                         "reconstruct_network_sparse_chunked)")
+    ap.add_argument("--cap", type=int, default=None,
+                    help="chunked-accumulator capacity (distinct painted "
+                         "pairs; default 2x a chunk's paint count — for "
+                         "a degree-d graph with the k=3 path motif, "
+                         "~(d^2+d) * N is a safe structural bound)")
     args = ap.parse_args()
     results = {}
     if os.path.exists(OUT):
@@ -227,9 +241,13 @@ def main():
     # frees ~8.6 GB at side >= 512 and takes a 4x larger budget
     cap = 19_200_000 if args.csr else 4_800_000
     samples = args.recon_samples or min(int(1_200_000 * scale), cap)
+    # the chunked accumulator lifts the per-piece working set off the
+    # HBM budget, so --chunks also lifts the sample cap
+    samples = samples * max(args.chunks, 1) if args.recon_samples is None \
+        else samples
     sections = [(key, lambda: big_torus_ndl(
         args.side, recons_iter=samples, num_chains=chains,
-        use_csr=args.csr))]
+        use_csr=args.csr, chunks=args.chunks, cap=args.cap))]
     if not args.torus_only:
         sections += [("serving_throughput", serving_throughput),
                      ("soak_500k_steps", soak_500k)]

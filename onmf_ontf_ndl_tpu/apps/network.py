@@ -50,7 +50,8 @@ from onmf_ontf_ndl_tpu.samplers.motif import (
 )
 
 __all__ = ["NetworkReconstructor", "ndl_train", "reconstruct_network",
-           "reconstruct_network_sparse"]
+           "reconstruct_network_sparse",
+           "reconstruct_network_sparse_chunked"]
 
 
 @functools.partial(
@@ -302,6 +303,124 @@ def reconstruct_network_sparse(
                                              include_self=include_self)
     mean = sums / jnp.maximum(cnt, 1.0)
     return out_i, out_j, mean, cnt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("B_bytes", "parents", "recons_iter", "use_glauber",
+                     "weighted", "sub_iter", "num_chains", "method"),
+)
+def _grouped_chunk_sums(W, g, key, B_bytes, parents, *, recons_iter,
+                        alpha, sub_iter, use_glauber, weighted,
+                        num_chains, method):
+    """One chunk of the chunked reconstruction: sample, code, paint and
+    group ``recons_iter`` patches, returning (ii, jj, SUMS, cnt) —
+    sums + counts, not means, so chunks fold exactly downstream."""
+    embs, vals_T = _recon_sample_vals(
+        W, g, key, B_bytes, parents, recons_iter, alpha, sub_iter,
+        use_glauber, weighted, num_chains, method)
+    return _group_painted(embs, vals_T, g.num_nodes, include_self=False)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _fold_grouped(ai, aj, asum, acnt, ci, cj, csum, ccnt):
+    """Fold a chunk's grouped (sum, count) segments into the
+    fixed-capacity accumulator: concatenate, two-key sort with padding
+    slots (cnt == 0) sent to the tail via int32-max keys, segment-reduce
+    — the on-device analogue of ``parallel.dp.merge_recon_shards``
+    (exact: the global mean of a pair is summed sums over summed
+    counts). Returns the merged arrays, real segments in a prefix,
+    truncated back to the accumulator's capacity — the caller checks
+    the merged real-segment count against the capacity."""
+    cap = ai.shape[0]
+    big = jnp.int32(2**31 - 1)
+    ii = jnp.concatenate([ai, ci])
+    jj = jnp.concatenate([aj, cj])
+    ss = jnp.concatenate([asum, csum])
+    cc = jnp.concatenate([acnt, ccnt])
+    valid = cc > 0
+    ik = jnp.where(valid, ii, big)
+    jk = jnp.where(valid, jj, big)
+    si, sj, sv, sc = lax.sort((ik, jk, ss, cc), num_keys=2)
+    new_seg = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        ((si[1:] != si[:-1]) | (sj[1:] != sj[:-1])).astype(jnp.int32),
+    ])
+    seg = jnp.cumsum(new_seg) - 1
+    total = ii.shape[0]
+    sums = jax.ops.segment_sum(sv, seg, num_segments=total,
+                               indices_are_sorted=True)
+    cnt = jax.ops.segment_sum(sc, seg, num_segments=total,
+                              indices_are_sorted=True)
+    out_i = jax.ops.segment_max(si, seg, num_segments=total,
+                                indices_are_sorted=True)
+    out_j = jax.ops.segment_max(sj, seg, num_segments=total,
+                                indices_are_sorted=True)
+    n_real = jnp.sum(cnt > 0)
+    return (out_i[:cap], out_j[:cap], sums[:cap], cnt[:cap],
+            n_real.astype(jnp.int32))
+
+
+def reconstruct_network_sparse_chunked(
+    W: jax.Array,
+    g,
+    key: jax.Array,
+    B_bytes: bytes,
+    parents: tuple[int, ...],
+    *,
+    recons_iter: int,
+    chunks: int,
+    cap: int | None = None,
+    alpha: float = 0.0,
+    sub_iter: int = 30,
+    use_glauber: bool = False,
+    weighted: bool = False,
+    num_chains: int = 1,
+    method: str = "bcd",
+):
+    """Sample budgets beyond single-chip HBM: run the sparse
+    reconstruction pipeline in ``chunks`` independent pieces and fold
+    each piece's grouped per-pair (sum, count) segments into a
+    fixed-capacity on-device accumulator between pieces.
+
+    The per-piece working set (code iterate, painted values, sort keys
+    — the HBM bound of large reconstructions, docs/DESIGN.md §6) is
+    that of a ``recons_iter / chunks`` budget, while the accumulator
+    only holds the DISTINCT painted pairs seen so far (``cap`` slots,
+    default twice a piece's paint count). The fold is the single-chip
+    analogue of the DP layer's exact shard merge: the reference's
+    per-edge running average is the per-edge mean, and a mean folds
+    exactly from (sum, count) pieces. Chunk key streams are decorrelated
+    by ``fold_in``; every chunk runs fresh chains from fresh uniform
+    pivots — exactly ``chunks`` repetitions of the reference's
+    fresh-chain reconstruction loop with pooled painting.
+
+    Raises if the distinct-pair count outgrows ``cap`` (raise ``cap``
+    or use more/fewer chunks; the check is exact, not a truncation).
+    Returns ``(ii, jj, mean, cnt)`` of length ``cap``, real segments in
+    a prefix — the same contract as :func:`reconstruct_network_sparse`
+    with ``include_self=False``."""
+    k = len(parents) + 1
+    per_chunk = -(-recons_iter // chunks)
+    if cap is None:
+        cap = 2 * per_chunk * k * (k - 1)
+    acc = (jnp.zeros((cap,), jnp.int32), jnp.zeros((cap,), jnp.int32),
+           jnp.zeros((cap,), W.dtype), jnp.zeros((cap,), W.dtype))
+    for c in range(chunks):
+        ck = jax.random.fold_in(key, c)
+        chunk = _grouped_chunk_sums(
+            W, g, ck, B_bytes, parents, recons_iter=per_chunk,
+            alpha=alpha, sub_iter=sub_iter, use_glauber=use_glauber,
+            weighted=weighted, num_chains=num_chains, method=method)
+        *acc, n_real = _fold_grouped(*acc, *chunk)
+        if int(n_real) > cap:
+            raise ValueError(
+                f"chunked reconstruction overflowed the {cap}-slot "
+                f"accumulator at chunk {c + 1}/{chunks} "
+                f"({int(n_real)} distinct pairs); raise cap")
+    ii, jj, sums, cnt = acc
+    mean = sums / jnp.maximum(cnt, 1.0)
+    return ii, jj, mean, cnt
 
 
 def _group_painted(embs, vals_T, n, include_self=True):
@@ -644,7 +763,8 @@ class NetworkReconstructor:
 
     def reconstruct_network(self, recons_iter: int = 100, alpha: float = 0.0,
                             num_chains: int | None = None,
-                            sparse: bool | None = None):
+                            sparse: bool | None = None,
+                            chunks: int = 1, cap: int | None = None):
         """Reconstruct the network (``reconstruct_network``, ``:444-511``).
 
         ``sparse=False`` returns a dense boolean (N, N) matrix;
@@ -658,11 +778,16 @@ class NetworkReconstructor:
         large dense-represented graph. Both paths implement the same
         per-edge-mean + rounding semantics. ``num_chains`` defaults to
         the instance's ensemble width; > 1 splits the chain work over an
-        ensemble."""
+        ensemble. ``chunks > 1`` (sparse path only) runs the budget in
+        pieces folded through a fixed-capacity accumulator — sample
+        budgets beyond single-chip HBM; see
+        :func:`reconstruct_network_sparse_chunked`."""
         if num_chains is None:
             num_chains = self.num_chains
         if sparse is None:
             sparse = isinstance(self.G, (BitsetGraph, CsrGraph))
+        if chunks > 1 and not sparse:
+            raise ValueError("chunks > 1 requires the sparse path")
         self.key, rk = jax.random.split(self.key)
         if not sparse:
             recon, cnt = reconstruct_network(
@@ -678,16 +803,26 @@ class NetworkReconstructor:
             self.G_recons = simple
             self.G_recons_edges = None
             return simple
-        ii, jj, mean, cnt = reconstruct_network_sparse(
-            self.state.W, self.G, rk, self._B_bytes, self._parents,
-            recons_iter=recons_iter, alpha=alpha,
-            use_glauber=self.is_glauber_recons,
-            weighted=self.weighted_patches, num_chains=num_chains,
-            method=self.coder,
-            # self-pair means only ever produce self-loops, which the
-            # simple-graph edges drop — skip a third of the grouping sort
-            include_self=False,
-        )
+        if chunks > 1:
+            ii, jj, mean, cnt = reconstruct_network_sparse_chunked(
+                self.state.W, self.G, rk, self._B_bytes, self._parents,
+                recons_iter=recons_iter, chunks=chunks, cap=cap,
+                alpha=alpha, use_glauber=self.is_glauber_recons,
+                weighted=self.weighted_patches, num_chains=num_chains,
+                method=self.coder,
+            )
+        else:
+            ii, jj, mean, cnt = reconstruct_network_sparse(
+                self.state.W, self.G, rk, self._B_bytes, self._parents,
+                recons_iter=recons_iter, alpha=alpha,
+                use_glauber=self.is_glauber_recons,
+                weighted=self.weighted_patches, num_chains=num_chains,
+                method=self.coder,
+                # self-pair means only ever produce self-loops, which
+                # the simple-graph edges drop — skip a third of the
+                # grouping sort
+                include_self=False,
+            )
         edges = _edges_from_sparse_result(ii, jj, mean, cnt,
                                           self.G.num_nodes)
         self.recon_weights = None

@@ -431,3 +431,78 @@ def test_csr_pad_table_paths_identical():
     for gg in (g, gb, gb0):
         np.testing.assert_array_equal(np.asarray(pair_matrices_T(gg, embs)),
                                       pref)
+
+
+def test_chunked_sparse_recon_fold_and_end_to_end():
+    """The chunked reconstruction's fold must merge grouped (sum, cnt)
+    segments exactly (numpy groupby oracle), the end-to-end chunked
+    path must reach unchunked-level accuracy, and an undersized
+    accumulator must raise rather than truncate."""
+    import jax
+    import jax.numpy as jnp
+    from onmf_ontf_ndl_tpu.apps.network import (
+        _fold_grouped, _group_painted, reconstruct_network_sparse_chunked)
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+
+    # --- fold exactness: two painted batches grouped separately then
+    # folded == one batch grouped (same multiset of paints)
+    rng = np.random.default_rng(5)
+    M, k, n = 120, 3, 40
+    embs = jnp.asarray(rng.integers(0, n, size=(2 * M, k)), jnp.int32)
+    vals = jnp.asarray(rng.random((k * k, 2 * M)))
+    a = _group_painted(embs[:M], vals[:, :M], n, include_self=False)
+    b = _group_painted(embs[M:], vals[:, M:], n, include_self=False)
+    cap = 2 * a[0].shape[0]      # > the distinct-pair count (898 here)
+    acc = (jnp.zeros((cap,), jnp.int32), jnp.zeros((cap,), jnp.int32),
+           jnp.zeros((cap,)), jnp.zeros((cap,)))
+    *acc, _ = _fold_grouped(*acc, *a)
+    fi, fj, fs, fc, n_real = _fold_grouped(*acc, *b)
+    whole_i, whole_j, whole_s, whole_c = (
+        np.asarray(x) for x in _group_painted(embs, vals, n,
+                                              include_self=False))
+    want = {(int(i), int(j)): (float(s), float(c)) for i, j, s, c in
+            zip(whole_i, whole_j, whole_s, whole_c) if c > 0}
+    fi, fj, fs, fc = (np.asarray(x) for x in (fi, fj, fs, fc))
+    got = {(int(i), int(j)): (float(s), float(c)) for i, j, s, c in
+           zip(fi, fj, fs, fc) if c > 0}
+    assert int(n_real) == len(want) == len(got)
+    assert set(got) == set(want)
+    for pair, (s, c) in want.items():
+        gs, gc = got[pair]
+        assert gc == c
+        np.testing.assert_allclose(gs, s, rtol=1e-6)
+    # real segments occupy a prefix
+    nz = int((fc > 0).sum())
+    assert (fc[:nz] > 0).all() and (fc[nz:] == 0).all()
+
+    # --- end to end: chunked reconstruction reaches unchunked-level
+    # accuracy on a small torus
+    m = 16
+    edges = []
+    for i in range(m):
+        for j in range(m):
+            u = i * m + j
+            edges.append((u, ((i + 1) % m) * m + j))
+            edges.append((u, i * m + (j + 1) % m))
+    g = csr_graph_from_edges(edges)
+    rec = NetworkReconstructor(source=g, n_components=16,
+                               MCMC_iterations=12, sub_iterations=20,
+                               sample_size=200, batch_size=50, k1=0,
+                               k2=2, num_chains=8, fast=True, seed=0)
+    rec.train_dict()
+    edges_out = rec.reconstruct_network(recons_iter=24000, num_chains=32,
+                                        chunks=3)
+    acc3 = float(rec.compute_recons_accuracy())
+    assert acc3 > 0.9
+
+    # --- undersized accumulator raises, never truncates
+    import pytest
+    with pytest.raises(ValueError, match="accumulator"):
+        reconstruct_network_sparse_chunked(
+            rec.state.W, g, jax.random.key(1), rec._B_bytes,
+            rec._parents, recons_iter=6000, chunks=2, cap=64,
+            use_glauber=True, num_chains=32)
+
+    # dense path refuses chunks
+    with pytest.raises(ValueError, match="sparse"):
+        rec.reconstruct_network(recons_iter=100, chunks=2, sparse=False)
