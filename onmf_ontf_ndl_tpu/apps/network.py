@@ -402,8 +402,13 @@ def reconstruct_network_sparse_chunked(
     with ``include_self=False``."""
     k = len(parents) + 1
     per_chunk = -(-recons_iter // chunks)
+    # the pipeline rounds each chunk's budget UP to a multiple of
+    # num_chains (every chain contributes whole steps), so size the
+    # default accumulator from the ROUNDED paint count — the nominal
+    # one under-sizes it for wide ensembles (review finding)
+    m_chunk = -(-per_chunk // max(num_chains, 1)) * max(num_chains, 1)
     if cap is None:
-        cap = 2 * per_chunk * k * (k - 1)
+        cap = 2 * m_chunk * k * max(k - 1, 1)
     acc = (jnp.zeros((cap,), jnp.int32), jnp.zeros((cap,), jnp.int32),
            jnp.zeros((cap,), W.dtype), jnp.zeros((cap,), W.dtype))
     for c in range(chunks):
@@ -444,6 +449,12 @@ def _group_painted(embs, vals_T, n, include_self=True):
     grouping sort is a measured ~30% of large sparse reconstructions
     and the diagonal is a third of it."""
     M, k = embs.shape
+    if k == 1:
+        # a single-node motif paints only self-pairs; grouping them and
+        # letting the simple-graph rounding drop them downstream gives
+        # the same edges as an empty off-diagonal grouping without
+        # 0-length-array corner cases
+        include_self = True
 
     # pair-major flat order (q, r, m) — matches vals_T's (k*k, M) layout
     # elementwise, and the grouping below is order-agnostic; the
@@ -455,8 +466,10 @@ def _group_painted(embs, vals_T, n, include_self=True):
         jj = jnp.broadcast_to(eT[None, :, :], (k, k, M)).reshape(-1)
         vv = vals_T.reshape(-1)
     else:
-        qs = np.asarray([q for q in range(k) for r in range(k) if q != r])
-        rs = np.asarray([r for q in range(k) for r in range(k) if q != r])
+        qs = np.asarray([q for q in range(k) for r in range(k) if q != r],
+                        dtype=np.int32)
+        rs = np.asarray([r for q in range(k) for r in range(k) if q != r],
+                        dtype=np.int32)
         ii = eT[qs].reshape(-1)                       # (k*(k-1)*M,)
         jj = eT[rs].reshape(-1)
         vv = vals_T[qs * k + rs].reshape(-1)

