@@ -322,39 +322,108 @@ def _grouped_chunk_sums(W, g, key, B_bytes, parents, *, recons_iter,
     return _group_painted(embs, vals_T, g.num_nodes, include_self=False)
 
 
+def _bitonic_merge(si, sj, sv, sc):
+    """Ascending two-key merge of a BITONIC (si, sj) key sequence of
+    power-of-two length, payloads carried along: log2(n) compare-
+    exchange stages instead of a full sort's log^2(n) — both fold
+    inputs are already sorted (grouped output is sorted by
+    construction), so a merge network is all the fold needs.
+
+    Stages run as (blocks, 2, d) reshapes only while ``d >= 128`` —
+    the compare distance stays a lane-multiple so every view is
+    tile-dense (a stage at small d materializes (…, 2, d)-shaped
+    operands whose d-minor pads to full 128-lane tiles: a measured
+    32 GB allocation at the 4.2M-node fold). After the d=128 stage the
+    array is a sequence of independent 128-long bitonic blocks, which
+    one row-wise ``lax.sort`` over a (n/128, 128) view finishes at
+    full lane utilization."""
+    n = si.shape[0]
+    assert n & (n - 1) == 0, "bitonic merge needs a power-of-two length"
+    if n <= 256:
+        return lax.sort((si, sj, sv, sc), num_keys=2)
+    d = n // 2
+    while d >= 128:
+        blocks = n // (2 * d)
+
+        def halves(x):
+            x = x.reshape(blocks, 2, d)
+            return x[:, 0], x[:, 1]
+
+        li, hi_ = halves(si)
+        lj, hj = halves(sj)
+        lv, hv = halves(sv)
+        lc, hc = halves(sc)
+        swap = (li > hi_) | ((li == hi_) & (lj > hj))
+
+        def ex(lo, hi__):
+            return (jnp.where(swap, hi__, lo), jnp.where(swap, lo, hi__))
+
+        (li, hi_), (lj, hj) = ex(li, hi_), ex(lj, hj)
+        (lv, hv), (lc, hc) = ex(lv, hv), ex(lc, hc)
+
+        def join(lo, hi__):
+            return jnp.stack([lo, hi__], axis=1).reshape(n)
+
+        si, sj = join(li, hi_), join(lj, hj)
+        sv, sc = join(lv, hv), join(lc, hc)
+        d //= 2
+    rows = n // 128
+    si, sj, sv, sc = lax.sort(
+        tuple(x.reshape(rows, 128) for x in (si, sj, sv, sc)),
+        dimension=1, num_keys=2)
+    return (si.reshape(n), sj.reshape(n), sv.reshape(n), sc.reshape(n))
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
 def _fold_grouped(ai, aj, asum, acnt, ci, cj, csum, ccnt):
     """Fold a chunk's grouped (sum, count) segments into the
-    fixed-capacity accumulator: concatenate, two-key sort with padding
-    slots (cnt == 0) sent to the tail via int32-max keys, segment-reduce
-    — the on-device analogue of ``parallel.dp.merge_recon_shards``
-    (exact: the global mean of a pair is summed sums over summed
-    counts). Returns the merged arrays, real segments in a prefix,
-    truncated back to the accumulator's capacity — the caller checks
-    the merged real-segment count against the capacity."""
+    fixed-capacity accumulator — the on-device analogue of
+    ``parallel.dp.merge_recon_shards`` (exact: the global mean of a
+    pair is summed sums over summed counts).
+
+    Both inputs are SORTED by (i, j) with padding at the tail (grouped
+    output is sorted by construction), so the combined sequence
+    [accumulator asc | pad | chunk REVERSED] is bitonic and one
+    log2(n)-stage merge network replaces a full log^2(n) sort —
+    padding slots (cnt == 0) ride as int32-max keys. Returns the
+    merged arrays, real segments in a prefix, truncated back to the
+    accumulator's capacity — the caller checks the merged real-segment
+    count against the capacity."""
     cap = ai.shape[0]
+    L = ci.shape[0]
     big = jnp.int32(2**31 - 1)
-    ii = jnp.concatenate([ai, ci])
-    jj = jnp.concatenate([aj, cj])
-    ss = jnp.concatenate([asum, csum])
-    cc = jnp.concatenate([acnt, ccnt])
-    valid = cc > 0
-    ik = jnp.where(valid, ii, big)
-    jk = jnp.where(valid, jj, big)
-    si, sj, sv, sc = lax.sort((ik, jk, ss, cc), num_keys=2)
+    total = cap + L
+    T = 1 << (total - 1).bit_length()
+
+    def keyed(i_, j_, c_):
+        v = c_ > 0
+        return jnp.where(v, i_, big), jnp.where(v, j_, big)
+
+    ai_k, aj_k = keyed(ai, aj, acnt)
+    ci_k, cj_k = keyed(ci, cj, ccnt)
+    padn = T - total
+
+    def cat(a, pad_val, c):
+        mid = jnp.full((padn,), pad_val, a.dtype)
+        return jnp.concatenate([a, mid, c[::-1]])
+
+    si = cat(ai_k, big, ci_k)
+    sj = cat(aj_k, big, cj_k)
+    sv = cat(asum, jnp.zeros((), asum.dtype), csum)
+    sc = cat(acnt, jnp.zeros((), acnt.dtype), ccnt)
+    si, sj, sv, sc = _bitonic_merge(si, sj, sv, sc)
     new_seg = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
         ((si[1:] != si[:-1]) | (sj[1:] != sj[:-1])).astype(jnp.int32),
     ])
     seg = jnp.cumsum(new_seg) - 1
-    total = ii.shape[0]
-    sums = jax.ops.segment_sum(sv, seg, num_segments=total,
+    sums = jax.ops.segment_sum(sv, seg, num_segments=T,
                                indices_are_sorted=True)
-    cnt = jax.ops.segment_sum(sc, seg, num_segments=total,
+    cnt = jax.ops.segment_sum(sc, seg, num_segments=T,
                               indices_are_sorted=True)
-    out_i = jax.ops.segment_max(si, seg, num_segments=total,
+    out_i = jax.ops.segment_max(si, seg, num_segments=T,
                                 indices_are_sorted=True)
-    out_j = jax.ops.segment_max(sj, seg, num_segments=total,
+    out_j = jax.ops.segment_max(sj, seg, num_segments=T,
                                 indices_are_sorted=True)
     n_real = jnp.sum(cnt > 0)
     return (out_i[:cap], out_j[:cap], sums[:cap], cnt[:cap],
@@ -417,6 +486,15 @@ def reconstruct_network_sparse_chunked(
             W, g, ck, B_bytes, parents, recons_iter=per_chunk,
             alpha=alpha, sub_iter=sub_iter, use_glauber=use_glauber,
             weighted=weighted, num_chains=num_chains, method=method)
+        # fold only the chunk's real-segment prefix (grouped output is
+        # sorted with real segments contiguous from slot 0): the merge
+        # network's cost scales with accumulator + REAL chunk segments,
+        # not the chunk's padded paint count. Power-of-two size buckets
+        # bound the number of fold recompiles.
+        n_seg_c = int(jnp.sum(chunk[3] > 0))
+        S = min(chunk[0].shape[0],
+                1 << max(10, (max(n_seg_c, 1) - 1).bit_length()))
+        chunk = tuple(x[:S] for x in chunk)
         *acc, n_real = _fold_grouped(*acc, *chunk)
         if int(n_real) > cap:
             raise ValueError(

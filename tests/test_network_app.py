@@ -561,3 +561,59 @@ def test_pad_table_device_build_and_k1_and_cap(monkeypatch):
         rec2._parents, recons_iter=200, chunks=2, num_chains=256,
         use_glauber=True)
     assert int((np.asarray(cnt) > 0).sum()) > 0
+
+
+def test_bitonic_merge_fold_property():
+    """Property test of the fold's bitonic merge network: random SORTED
+    grouped inputs of awkward (non-power-of-two) sizes with heavy key
+    duplication across inputs must fold to the exact NumPy groupby."""
+    import jax.numpy as jnp
+    from onmf_ontf_ndl_tpu.apps.network import _fold_grouped
+
+    rng = np.random.default_rng(17)
+    # caps exceed the worst-case union (<= 100 real segments): the raw
+    # fold truncates past cap by contract (the API wrapper raises)
+    for cap, L, nkeys in ((101, 91, 25), (128, 100, 60), (513, 1023, 64),
+                          (4096, 8191, 2000)):  # multi-stage + row sort
+        def sorted_grouped(slots, n_real):
+            keys = rng.integers(0, nkeys, size=(n_real, 2))
+            keys = keys[np.lexsort((keys[:, 1], keys[:, 0]))]
+            # dedup within one grouped input (segments are unique)
+            _, first = np.unique(keys[:, 0] * 1000 + keys[:, 1],
+                                 return_index=True)
+            keys = keys[np.sort(first)]
+            r = len(keys)
+            ii = np.zeros(slots, np.int32)
+            jj = np.zeros(slots, np.int32)
+            ss = np.zeros(slots)
+            cc = np.zeros(slots)
+            ii[:r], jj[:r] = keys[:, 0], keys[:, 1]
+            ss[:r] = rng.random(r)
+            cc[:r] = rng.integers(1, 5, r)
+            return (jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(ss),
+                    jnp.asarray(cc))
+
+        a = sorted_grouped(cap, min(cap, 30))
+        c = sorted_grouped(L, min(L, 70))
+        # snapshot before the fold: the accumulator args are DONATED
+        want = {}
+        for t in (a, c):
+            i_, j_, s_, c_ = (np.asarray(x) for x in t)
+            for iv, jv, sv, cv in zip(i_, j_, s_, c_):
+                if cv > 0:
+                    ps, pc = want.get((iv, jv), (0.0, 0.0))
+                    want[(iv, jv)] = (ps + sv, pc + cv)
+        fi, fj, fs, fc, n_real = _fold_grouped(*a, *c)
+        fi, fj, fs, fc = (np.asarray(x) for x in (fi, fj, fs, fc))
+        got = {(int(i), int(j)): (float(s), float(c)) for i, j, s, c in
+               zip(fi, fj, fs, fc) if c > 0}
+        assert int(n_real) == len(want)
+        assert set(got) == set(want)
+        for pair, (s, c_) in want.items():
+            np.testing.assert_allclose(got[pair][0], s, rtol=1e-9)
+            assert got[pair][1] == c_
+        # output keys ascending over the real prefix (the next fold's
+        # bitonic precondition)
+        nz = int((fc > 0).sum())
+        kk = fi[:nz].astype(np.int64) * 10**6 + fj[:nz]
+        assert (np.diff(kk) > 0).all()
