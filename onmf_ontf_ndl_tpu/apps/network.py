@@ -412,19 +412,25 @@ def _fold_grouped(ai, aj, asum, acnt, ci, cj, csum, ccnt):
     sv = cat(asum, jnp.zeros((), asum.dtype), csum)
     sc = cat(acnt, jnp.zeros((), acnt.dtype), ccnt)
     si, sj, sv, sc = _bitonic_merge(si, sj, sv, sc)
-    new_seg = jnp.concatenate([
-        jnp.ones((1,), jnp.int32),
-        ((si[1:] != si[:-1]) | (sj[1:] != sj[:-1])).astype(jnp.int32),
-    ])
-    seg = jnp.cumsum(new_seg) - 1
-    sums = jax.ops.segment_sum(sv, seg, num_segments=T,
-                               indices_are_sorted=True)
-    cnt = jax.ops.segment_sum(sc, seg, num_segments=T,
-                              indices_are_sorted=True)
-    out_i = jax.ops.segment_max(si, seg, num_segments=T,
-                                indices_are_sorted=True)
-    out_j = jax.ops.segment_max(sj, seg, num_segments=T,
-                                indices_are_sorted=True)
+    # Both inputs have UNIQUE keys, so after the merge every real key
+    # occupies <= 2 adjacent slots: the whole segment reduction is one
+    # shift-add (the first slot of a duplicate pair absorbs the second)
+    # — segment_sum/segment_max lower to TPU scatters at ~1.2 s per op
+    # at this width, measured, vs ~0 for the adds. Padding runs (equal
+    # int32-max keys) are longer but carry zeros, so pairwise
+    # absorption loses nothing. Killed slots become int32-max-keyed
+    # zeros and ONE two-key payload sort (0.8 s — cheaper than a single
+    # segment op) restores the sorted-reals-prefix invariant.
+    same = (si[1:] == si[:-1]) & (sj[1:] == sj[:-1])
+    zero = jnp.zeros((1,), sv.dtype)
+    sums = sv + jnp.concatenate([jnp.where(same, sv[1:], 0), zero])
+    cnt = sc + jnp.concatenate([jnp.where(same, sc[1:], 0), zero])
+    killed = jnp.concatenate([jnp.zeros((1,), bool), same])
+    si = jnp.where(killed, big, si)
+    sj = jnp.where(killed, big, sj)
+    sums = jnp.where(killed, 0, sums)
+    cnt = jnp.where(killed, 0, cnt)
+    out_i, out_j, sums, cnt = lax.sort((si, sj, sums, cnt), num_keys=2)
     n_real = jnp.sum(cnt > 0)
     return (out_i[:cap], out_j[:cap], sums[:cap], cnt[:cap],
             n_real.astype(jnp.int32))
