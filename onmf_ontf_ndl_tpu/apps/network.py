@@ -40,6 +40,7 @@ from onmf_ontf_ndl_tpu.models.state import OnmfState, init_state
 from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
 from onmf_ontf_ndl_tpu.samplers.motif import (
     pair_matrices_T,
+    _csr_row_slots,
     _sample_patches,
     _sample_patches_ensemble_impl,
     glauber_update,
@@ -616,6 +617,55 @@ def _pack_recon_edges(ii, jj, mean, cnt, n):
     return jnp.sort(packed), jnp.sum(keep)
 
 
+# explicit-pair fetch bytes above which the CSR-slot bitmask fetch
+# wins (see _edges_from_sparse_result; measured crossover between the
+# 4.2M- and 9.4M-node torus reconstructions)
+_MASK_FETCH_BYTES = 150 << 20
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _kept_edge_bits(ii, jj, mean, cnt, g, size):
+    """Split the kept directed pairs (rounded mean > 0) into (a) a
+    BITMASK over the graph's CSR slots for pairs that are true edges —
+    one bit per directed edge slot, ~bits-per-edge host-link bytes
+    instead of 8 bytes per kept pair — and (b) the canonical (lo, hi)
+    extras that are NOT graph edges (compacted to a ``size`` prefix).
+    Both orientations of a kept true edge set the SAME canonical slot
+    (lo's row position of hi), so the mask is orientation-deduped for
+    free; extras dedup on the host."""
+    keep = (cnt > 0) & (jnp.round(mean) > 0)
+    # compact kept pairs first so the (D,)-wide row gathers below run
+    # over the kept count, not the full slot-capacity arrays
+    idx = jnp.nonzero(keep, size=size, fill_value=0)[0]
+    valid = (jnp.arange(size) < jnp.sum(keep))
+    ki, kj = ii[idx], jj[idx]
+    lo = jnp.minimum(ki, kj)
+    hi = jnp.maximum(ki, kj)
+    slots, ok = _csr_row_slots(g, lo)                  # (size, D)
+    eq = (slots == hi[:, None]) & ok
+    is_edge = jnp.any(eq, axis=1) & (lo != hi) & valid
+    slot = g.offsets[lo] + jnp.argmax(eq, axis=1).astype(jnp.int32)
+    e2 = g.nbr_flat.shape[0]
+    words = -(-e2 // 32)
+    bools = jnp.zeros((words * 32,), bool).at[slot].max(
+        is_edge, mode="drop")
+    bits = jnp.sum(
+        bools.reshape(words, 32).astype(jnp.uint32)
+        << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1,
+        dtype=jnp.uint32)
+    extra = valid & ~is_edge
+    n_extra = jnp.sum(extra)
+    # extras to a prefix: two-key sort with int32-max sentinels (no
+    # int64 on TPU — x64 is disabled there). They are few — near-misses
+    # of the rounding; self-pairs land here too and the host
+    # simple-graph fold drops them.
+    big = jnp.int32(2**31 - 1)
+    elo = jnp.where(extra, lo, big)
+    ehi = jnp.where(extra, hi, big)
+    elo, ehi = lax.sort((elo, ehi), num_keys=2)
+    return bits, elo, ehi, n_extra
+
+
 @functools.partial(jax.jit, static_argnames=("size",))
 def _kept_pairs(ii, jj, mean, cnt, size):
     """Compact the kept directed pairs (rounded mean > 0) to a prefix of
@@ -627,7 +677,7 @@ def _kept_pairs(ii, jj, mean, cnt, size):
     return ii[idx], jj[idx]
 
 
-def _edges_from_sparse_result(ii, jj, mean, cnt, n):
+def _edges_from_sparse_result(ii, jj, mean, cnt, n, g=None):
     """Host-side simple-graph edges from a `reconstruct_network_sparse`
     result, minimizing host-link bytes.
 
@@ -637,26 +687,56 @@ def _edges_from_sparse_result(ii, jj, mean, cnt, n):
     ship only that prefix (~1/4 the bytes of the three-array prefix
     fetch over the ~MB/s axon host link). The all-ones sentinel can only
     collide with the (n-1, n-1) self-pair, which the simple-graph filter
-    drops anyway. Beyond 65536 nodes i*n+j wraps mod 2^32; there,
-    compact the KEPT pairs to a prefix on device (sized ``nonzero`` —
-    no sort) and ship only those two prefixes: the kept count is ~the
-    true directed edge count, an order of magnitude below the distinct
-    painted-pair count whose three full prefix arrays this path used to
-    fetch (measured at the 1M-node torus: the fetch was ~2/3 of the
-    14.7 s reconstruction wall)."""
+    drops anyway.
+
+    Beyond 65536 nodes i*n+j wraps mod 2^32. When the graph's host CSR
+    copies are available (builder-constructed graphs), ship ONE BIT per
+    directed CSR slot for the kept pairs that are true edges plus the
+    few non-edge extras — ~bits-per-edge link bytes; at the
+    9.4M-node torus the explicit 31M-directed-pair fetch measured 37 s
+    of a 124 s reconstruction, the mask is ~4.7 MB. Otherwise compact
+    the kept pairs to a prefix on device (sized ``nonzero``) and ship
+    the two prefixes."""
     if n <= 65536:
         packed, n_keep = _pack_recon_edges(ii, jj, mean, cnt, n)
         pk = np.asarray(packed[:int(n_keep)]).astype(np.int64)
         pi, pj = pk // n, pk % n
-    else:
-        n_keep = int(jnp.sum((cnt > 0) & (jnp.round(mean) > 0)))
-        # pad the compaction size to the next power of two so repeat
-        # reconstructions at similar scales reuse the jit cache
-        size = max(1024, 1 << (max(n_keep, 1) - 1).bit_length())
-        size = min(size, ii.shape[0])
-        ki, kj = _kept_pairs(ii, jj, mean, cnt, size)
-        pi = np.asarray(ki[:n_keep]).astype(np.int64)
-        pj = np.asarray(kj[:n_keep]).astype(np.int64)
+        return _undirected_simple_edges(pi, pj)
+    from onmf_ontf_ndl_tpu.data.graphs import host_csr
+
+    hcsr = host_csr(g) if g is not None else None
+    n_keep = int(jnp.sum((cnt > 0) & (jnp.round(mean) > 0)))
+    # pad the compaction size to the next power of two so repeat
+    # reconstructions at similar scales reuse the jit cache
+    size = max(1024, 1 << (max(n_keep, 1) - 1).bit_length())
+    size = min(size, ii.shape[0])
+    # the mask path's own device compaction/scatter and host decode
+    # cost ~10 s at the multi-million-pair scale, so it only wins when
+    # the explicit-pair fetch bytes dwarf that (measured A/B at the
+    # 4.2M-node torus: pair 10.8 s vs mask 16.4 s steady at 116 MB;
+    # at the 9.4M-node scale the 250 MB pair fetch took 37 s) — route
+    # by kept-pair fetch size. The (size, D) row gathers must also
+    # stay affordable.
+    D = max(getattr(g, "max_deg", 0), 1) if g is not None else 0
+    if (hcsr is not None and n_keep * 8 > _MASK_FETCH_BYTES
+            and 0 < D * size * 4 <= (4 << 30)):
+        offs_np, dst_np = hcsr
+        bits, elo, ehi, n_extra = _kept_edge_bits(ii, jj, mean, cnt, g,
+                                                  size)
+        n_extra = int(n_extra)
+        # decode the slot mask on the host via the retained CSR arrays
+        w = np.asarray(bits)
+        bools = np.unpackbits(w.view(np.uint8), bitorder="little")
+        slots = np.flatnonzero(bools[:dst_np.shape[0]])
+        src = np.searchsorted(offs_np, slots, side="right").astype(
+            np.int64) - 1
+        dst = dst_np[slots].astype(np.int64)
+        pi = np.concatenate([src, np.asarray(elo[:n_extra], np.int64)])
+        pj = np.concatenate([dst, np.asarray(ehi[:n_extra], np.int64)])
+        return _undirected_simple_edges(pi, pj)
+    ki, kj = _kept_pairs(ii, jj, mean, cnt, size)
+    pi = np.asarray(ki[:n_keep]).astype(np.int64)
+    pj = np.asarray(kj[:n_keep]).astype(np.int64)
     return _undirected_simple_edges(pi, pj)
 
 
@@ -921,7 +1001,7 @@ class NetworkReconstructor:
                 include_self=False,
             )
         edges = _edges_from_sparse_result(ii, jj, mean, cnt,
-                                          self.G.num_nodes)
+                                          self.G.num_nodes, g=self.G)
         self.recon_weights = None
         self.G_recons = None
         self.G_recons_edges = edges
@@ -1021,6 +1101,28 @@ class NetworkReconstructor:
         and the axon host link runs ~1 MB/s)."""
         i = np.asarray(i)
         j = np.asarray(j)
+        from onmf_ontf_ndl_tpu.data.graphs import host_csr
+
+        hcsr = host_csr(self.G)
+        if hcsr is not None:
+            # membership entirely on the host: one sorted packed-key
+            # array per graph (cached), then a vectorized searchsorted —
+            # no device round trip (uploading a 15M-pair query costs
+            # ~35 s over this link at the 9.4M-node scale)
+            offs_np, dst_np = hcsr
+            keys = getattr(self, "_host_edge_keys", None)
+            if keys is None or keys[0] is not self.G:
+                n = self.G.num_nodes
+                src = np.searchsorted(
+                    offs_np, np.arange(len(dst_np)), side="right") - 1
+                keys = (self.G,
+                        np.sort(src.astype(np.int64) * n + dst_np))
+                self._host_edge_keys = keys
+            q = i.astype(np.int64) * self.G.num_nodes + j.astype(np.int64)
+            pos = np.searchsorted(keys[1], q)
+            pos = np.minimum(pos, len(keys[1]) - 1)
+            return (keys[1][pos] == q) if len(keys[1]) else \
+                np.zeros(q.shape, bool)
         if isinstance(self.G, BitsetGraph):
             # per-dim (row, word) gather: no linear index to overflow,
             # no flattened view (see the BitsetGraph layout note)

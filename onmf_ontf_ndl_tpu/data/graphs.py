@@ -337,6 +337,45 @@ def _csr_arrays(e, n):
 # distributions it can blow up N*max_deg-fold, so it is gated by bytes
 # and the gather paths fall back to the CSR triple when absent
 _PAD_TABLE_BYTES = 256 << 20
+
+# Host-side CSR retention: the reconstruction's edge fetch can ship a
+# ~bits-per-edge MASK over the graph's CSR slots instead of explicit
+# (i, j) pairs (30-50x fewer bytes over the ~MB/s host link), but
+# decoding slot indices back to node pairs needs the offsets/dst arrays
+# ON THE HOST. The graph pytrees carry device arrays only (a host copy
+# as a pytree leaf would re-upload on every jit call; as static
+# metadata it would break hashing), so the builders park the host
+# arrays here, keyed weakly by the graph object — graphs that cross a
+# jit boundary (fresh unflattened objects) simply miss the cache and
+# take the explicit-pair fetch path.
+import weakref
+
+# keyed by id(g) with a weakref finalizer (the graph dataclasses hash
+# their jax-array fields, so they are unhashable — a WeakKeyDictionary
+# cannot hold them)
+_HOST_CSR: dict = {}
+
+
+def register_host_csr(g, offsets: np.ndarray, dst: np.ndarray) -> None:
+    gid = id(g)
+
+    def _drop(_ref, gid=gid):
+        _HOST_CSR.pop(gid, None)
+
+    try:
+        ref = weakref.ref(g, _drop)
+    except TypeError:        # object does not support weakrefs
+        return
+    _HOST_CSR[gid] = (ref, np.asarray(offsets), np.asarray(dst))
+
+
+def host_csr(g):
+    """(offsets, dst) host copies for a builder-constructed graph, or
+    None when unavailable (e.g. the object was rebuilt by a jit)."""
+    ent = _HOST_CSR.get(id(g))
+    if ent is None or ent[0]() is not g:
+        return None
+    return ent[1], ent[2]
 # above this size, build the pad table on device from the CSR arrays
 # instead of assembling + shipping it from host RAM (the one-off
 # scatter compile loses below it — same trade as _DEVICE_BUILD_BYTES)
@@ -381,7 +420,7 @@ def csr_graph_from_edges(edges) -> CsrGraph:
     pad = None
     if n and 0 < max_deg * n * 4 <= _PAD_TABLE_BYTES:
         pad = _build_nbr_pad_T(src, dst, deg, offsets, n, max_deg)
-    return CsrGraph(
+    g = CsrGraph(
         nbr_flat=jnp.asarray(dst.astype(np.int32)),
         offsets=jnp.asarray(offsets),
         deg=jnp.asarray(deg),
@@ -389,6 +428,8 @@ def csr_graph_from_edges(edges) -> CsrGraph:
         max_deg=max_deg,
         nbr_pad_T=pad,
     )
+    register_host_csr(g, offsets, dst.astype(np.int32))
+    return g
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -445,7 +486,7 @@ def bitset_graph_from_edges(edges, *,
     pad = None
     if n and 0 < max_deg * n * 4 <= _PAD_TABLE_BYTES:
         pad = _build_nbr_pad_T(src, dst, deg, offsets, n, max_deg)
-    return BitsetGraph(
+    g = BitsetGraph(
         bits=bits,
         nbr_flat=jnp.asarray(dst.astype(np.int32)),
         offsets=jnp.asarray(offsets),
@@ -454,6 +495,8 @@ def bitset_graph_from_edges(edges, *,
         max_deg=max_deg,
         nbr_pad_T=pad,
     )
+    register_host_csr(g, offsets, dst.astype(np.int32))
+    return g
 
 
 def load_edgelist_bitset(path: str, delimiter: str = ",") -> BitsetGraph:

@@ -617,3 +617,47 @@ def test_bitonic_merge_fold_property():
         nz = int((fc > 0).sum())
         kk = fi[:nz].astype(np.int64) * 10**6 + fj[:nz]
         assert (np.diff(kk) > 0).all()
+
+
+def test_edge_fetch_mask_path_matches_pair_path(monkeypatch):
+    """>65,536-node edge decode via the CSR-slot bitmask (host-CSR
+    retained by the builders) must return exactly the explicit-pair
+    path's edges — true edges, non-edge extras, self-pairs, rounding
+    drops, and padding all covered. (The mask path engages only past a
+    fetch-size threshold in production; force it here.)"""
+    import jax.numpy as jnp
+    from onmf_ontf_ndl_tpu.apps import network as net
+    from onmf_ontf_ndl_tpu.apps.network import _edges_from_sparse_result
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges, host_csr
+
+    monkeypatch.setattr(net, "_MASK_FETCH_BYTES", 0)
+
+    m = 260                           # 67,600 nodes > the uint32 bound
+    edges = []
+    for i in range(m):
+        for j in range(m):
+            u = i * m + j
+            edges.append((u, ((i + 1) % m) * m + j))
+            edges.append((u, i * m + (j + 1) % m))
+    g = csr_graph_from_edges(edges)
+    assert host_csr(g) is not None
+    n = g.num_nodes
+
+    rng = np.random.default_rng(23)
+    # synthetic grouped result: some true edges (both orientations),
+    # some non-edges, a self-pair, sub-threshold means, padding
+    e = np.asarray(edges[:300])
+    ii = np.concatenate([e[:, 0], e[:, 1],
+                         rng.integers(0, n, 40), [5, 7], [0] * 10])
+    jj = np.concatenate([e[:, 1], e[:, 0],
+                         rng.integers(0, n, 40), [5, 9], [0] * 10])
+    total = len(ii)
+    mean = np.ones(total); mean[600:640:2] = 0.3   # some extras dropped
+    mean[-10:] = 0.0
+    cnt = np.ones(total); cnt[-10:] = 0.0          # padding slots
+    args = (jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32),
+            jnp.asarray(mean), jnp.asarray(cnt), n)
+    got_mask = _edges_from_sparse_result(*args, g=g)
+    got_pairs = _edges_from_sparse_result(*args)       # no g: pair path
+    np.testing.assert_array_equal(got_mask, got_pairs)
+    assert len(got_mask) > 300     # the true edges survived
