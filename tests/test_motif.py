@@ -387,6 +387,46 @@ def test_intern_edges_matches_dict_loop_oracle():
     np.testing.assert_array_equal(e, oe)
 
 
+def test_intern_edges_numpy_fallback_matches_pandas_path(monkeypatch):
+    """`_intern_edges` prefers pandas.factorize; the numpy fallback must
+    produce identical interning when pandas is unavailable (and the
+    non-fallback call verifies the two paths agree)."""
+    import sys
+
+    from onmf_ontf_ndl_tpu.data.graphs import _intern_edges
+
+    rng = np.random.default_rng(29)
+    labels = rng.choice(np.arange(-2_000_000_000, 2_000_000_000, 99991),
+                        size=(700, 2))
+    e_pd, ids_pd = _intern_edges(labels)
+    # blocking the pandas import drives the numpy unique/searchsorted path
+    monkeypatch.setitem(sys.modules, "pandas", None)
+    e_np, ids_np = _intern_edges(labels)
+    np.testing.assert_array_equal(e_pd, e_np)
+    np.testing.assert_array_equal(np.asarray(ids_pd), np.asarray(ids_np))
+
+
+def test_csr_arrays_packed_sort_matches_lexsort_oracle():
+    """The one-key packed sort in `_csr_arrays` must order the directed
+    pairs exactly like the two-key lexsort it replaced (src asc, dst asc
+    within src) — the order rank-select draws depend on."""
+    from onmf_ontf_ndl_tpu.data.graphs import _csr_arrays, _intern_edges
+
+    rng = np.random.default_rng(31)
+    raw = rng.integers(0, 60, size=(800, 2))
+    e, ids = _intern_edges(raw)
+    n = len(ids)
+    src, dst, deg, off = _csr_arrays(e, n)
+
+    both = np.concatenate([e, e[:, ::-1]], axis=0)
+    order = np.lexsort((both[:, 1], both[:, 0]))
+    np.testing.assert_array_equal(src, both[order, 0])
+    np.testing.assert_array_equal(dst, both[order, 1])
+    np.testing.assert_array_equal(deg, np.bincount(both[:, 0], minlength=n))
+    np.testing.assert_array_equal(
+        off, np.concatenate([[0], np.cumsum(deg)[:-1]]))
+
+
 def test_bitset_device_build_matches_host_oracle():
     """The on-device scatter-add bitset build (a sum of distinct powers
     of two IS the bitwise OR, because directed pairs are unique) must
