@@ -13,7 +13,28 @@ import numpy as np
 
 __all__ = ["display_dictionary", "display_network_dictionary",
            "display_recons_panel", "display_second_dictionary",
-           "display_errors_comparison", "display_dictionary_color_combine"]
+           "display_errors_comparison", "display_dictionary_color_combine",
+           "show_array"]
+
+
+def show_array(arr, *, cmap: str | None = None,
+               save_path: str | None = None, show: bool = False):
+    """Single-array imshow helper — the reference's interactive
+    ``show_array`` (``/root/reference/network_reconstruction_nx.py:422-427``,
+    grayscale variant ``image_reconstruction.py:335-338``). The reference
+    only ``plt.show()``s; here ``save_path`` writes a file instead (this
+    repo's viz convention) and ``show`` opts into the interactive window."""
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(nrows=1, ncols=1, figsize=(4, 4.5),
+                           subplot_kw={"xticks": [], "yticks": []})
+    ax.imshow(np.asarray(arr), cmap=cmap)
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+    return save_path
 
 
 def _grid_dims(r: int, grid_shape=None):

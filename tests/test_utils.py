@@ -193,6 +193,28 @@ def test_viz_color_combine(tmp_path):
     assert os.path.getsize(p) > 0
 
 
+def test_show_array(tmp_path):
+    from onmf_ontf_ndl_tpu.utils.viz import show_array
+
+    p = show_array(RNG.random((8, 8)), cmap="gray",
+                   save_path=str(tmp_path / "arr.png"))
+    assert os.path.getsize(p) > 0
+
+
+def test_load_edgelist_dense(tmp_path):
+    # read_networks parity: dense adjacency, first-appearance node order
+    import numpy as np
+
+    from onmf_ontf_ndl_tpu.data.graphs import load_edgelist_dense
+
+    p = tmp_path / "e.txt"
+    p.write_text("5,7\n7,2\n2,5\n")
+    A = load_edgelist_dense(str(p))
+    # nodes interned as 5->0, 7->1, 2->2: a triangle
+    expect = np.array([[0, 1, 1], [1, 0, 1], [1, 1, 0]], np.float64)
+    np.testing.assert_array_equal(A, expect)
+
+
 def test_cli_network_bitset_sparse_end_to_end(tmp_path):
     # exercise the scale knobs: bitset ingest + chain ensembles + the
     # sparse (edge-list) reconstruction export
