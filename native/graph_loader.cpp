@@ -195,4 +195,150 @@ void gl_fill(void* hp, uint8_t* adj, int32_t* nbr, int32_t* deg,
 
 void gl_free(void* hp) { delete static_cast<GraphHandle*>(hp); }
 
+// ---------------------------------------------------------------------
+// In-memory edge-array -> sorted CSR builder (the million-node path).
+//
+// Replicates data/graphs.py::_intern_edges + _csr_arrays exactly:
+//   * first-appearance interning over the interleaved
+//     [a0, b0, a1, b1, ...] label stream;
+//   * self-loops dropped, undirected duplicates deduped;
+//   * per-row neighbor lists ASCENDING (the rank-select draw-identity
+//     invariant across graph representations).
+// The Python packed-key path costs ~27 s at the 9.4M-node flagship on
+// this 1-core host (pandas factorize + int64 unique + div/mod
+// unpacking); this builder does one hash pass + one sort and fills
+// caller-allocated NumPy buffers (identical bytes, tested).
+
+struct CsrHandle {
+  std::vector<int64_t> node_ids;
+  std::vector<int32_t> nbr_flat;   // (2E,) ascending per row
+  std::vector<int32_t> offsets;    // (N,)
+  std::vector<int32_t> deg;        // (N,)
+  int32_t max_deg = 0;
+  std::string error;
+};
+
+namespace {
+
+// open-addressing int64 -> int32 intern table (linear probing):
+// ~3-4x faster than std::unordered_map at the 38M-lookup scale
+struct InternTable {
+  std::vector<int64_t> keys;
+  std::vector<int32_t> vals;
+  uint64_t mask = 0;
+  static constexpr int64_t EMPTY = INT64_MIN;
+
+  explicit InternTable(size_t n_hint) {
+    size_t cap = 64;
+    while (cap < n_hint * 2) cap <<= 1;   // load factor <= 0.5
+    keys.assign(cap, EMPTY);
+    vals.resize(cap);
+    mask = cap - 1;
+  }
+
+  int32_t intern(int64_t k, std::vector<int64_t>& ids) {
+    uint64_t h = (uint64_t)k * 0x9E3779B97F4A7C15ull;
+    uint64_t i = h & mask;
+    for (;;) {
+      if (keys[i] == k) return vals[i];
+      if (keys[i] == EMPTY) {
+        keys[i] = k;
+        vals[i] = (int32_t)ids.size();
+        ids.push_back(k);
+        return vals[i];
+      }
+      i = (i + 1) & mask;
+    }
+  }
+};
+
+}  // namespace
+
+// edges: flat int64 array of 2*npairs labels, [a0, b0, a1, b1, ...]
+void* gl_csr_from_edges(const int64_t* edges, int64_t npairs) {
+  auto* h = new CsrHandle();
+  // EMPTY is the open-addressing sentinel; a real INT64_MIN label (nothing
+  // sane produces one) falls back to the Python builder via the error path
+  for (int64_t i = 0; i < 2 * npairs; ++i) {
+    if (edges[i] == INT64_MIN) {
+      h->error = "label INT64_MIN unsupported";
+      return h;
+    }
+  }
+  InternTable tbl((size_t)npairs);          // <= 2*npairs distinct labels
+  std::vector<uint64_t> keys;               // packed (lo, hi), lo < hi
+  keys.reserve((size_t)npairs);
+  for (int64_t i = 0; i < npairs; ++i) {
+    int32_t u = tbl.intern(edges[2 * i], h->node_ids);
+    int32_t v = tbl.intern(edges[2 * i + 1], h->node_ids);
+    if (u == v) continue;                   // self-loop
+    uint64_t lo = (uint64_t)(u < v ? u : v), hi = (uint64_t)(u < v ? v : u);
+    keys.push_back(lo << 32 | hi);
+  }
+  std::sort(keys.begin(), keys.end());
+  keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+
+  const int64_t n = (int64_t)h->node_ids.size();
+  h->deg.assign((size_t)n, 0);
+  for (uint64_t k : keys) {
+    h->deg[k >> 32]++;
+    h->deg[(uint32_t)k]++;
+  }
+  h->offsets.resize((size_t)n);
+  int64_t run = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    h->offsets[i] = (int32_t)run;
+    run += h->deg[i];
+    if (h->deg[i] > h->max_deg) h->max_deg = h->deg[i];
+  }
+  h->nbr_flat.resize((size_t)run);
+  std::vector<int32_t> fill((size_t)n, 0);
+  // keys are sorted by (lo, hi): each lo-row receives its hi neighbors
+  // ascending; the hi-rows get their (ascending-lo) mirrors ascending
+  // too, but interleaved with later lo-pass writes — a per-row sort
+  // below restores the global invariant cheaply (rows are short; hub
+  // rows are few)
+  for (uint64_t k : keys) {
+    int32_t lo = (int32_t)(k >> 32), hi = (int32_t)(uint32_t)k;
+    h->nbr_flat[(size_t)h->offsets[lo] + fill[lo]++] = hi;
+    h->nbr_flat[(size_t)h->offsets[hi] + fill[hi]++] = lo;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t* b = h->nbr_flat.data() + h->offsets[i];
+    std::sort(b, b + h->deg[i]);
+  }
+  return h;
+}
+
+const char* gl_csr_error(void* hp) {
+  auto* h = static_cast<CsrHandle*>(hp);
+  return h->error.empty() ? nullptr : h->error.c_str();
+}
+
+int64_t gl_csr_num_nodes(void* hp) {
+  return (int64_t)static_cast<CsrHandle*>(hp)->node_ids.size();
+}
+
+int64_t gl_csr_nnz(void* hp) {
+  return (int64_t)static_cast<CsrHandle*>(hp)->nbr_flat.size();
+}
+
+int32_t gl_csr_max_deg(void* hp) {
+  return static_cast<CsrHandle*>(hp)->max_deg;
+}
+
+void gl_csr_fill(void* hp, int32_t* nbr_flat, int32_t* offsets,
+                 int32_t* deg, int64_t* node_ids) {
+  auto* h = static_cast<CsrHandle*>(hp);
+  std::memcpy(nbr_flat, h->nbr_flat.data(),
+              sizeof(int32_t) * h->nbr_flat.size());
+  std::memcpy(offsets, h->offsets.data(),
+              sizeof(int32_t) * h->offsets.size());
+  std::memcpy(deg, h->deg.data(), sizeof(int32_t) * h->deg.size());
+  std::memcpy(node_ids, h->node_ids.data(),
+              sizeof(int64_t) * h->node_ids.size());
+}
+
+void gl_csr_free(void* hp) { delete static_cast<CsrHandle*>(hp); }
+
 }  // extern "C"

