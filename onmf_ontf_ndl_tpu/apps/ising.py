@@ -55,7 +55,7 @@ __all__ = ["IsingReconstructor", "ising_trajectory_learning", "display_errors"]
         "ising_iterations", "nsteps", "num_patches", "inner_iterations",
         "batch_size", "patch_size", "sampler", "update_lattice",
         "sub_iter", "keep_trajectory", "use_stopping", "backend",
-        "subsample", "coder",
+        "subsample", "coder", "psum_axis",
     ),
 )
 def ising_trajectory_learning(
@@ -83,6 +83,7 @@ def ising_trajectory_learning(
     backend: str = "xla",
     subsample: bool = False,
     coder: str = "bcd",
+    psum_axis: str | None = None,
 ):
     """Fused trajectory learner. Returns
     ``(state, dict_stack, errors, lattice, trajectory)`` where
@@ -91,6 +92,11 @@ def ising_trajectory_learning(
     (or a zero-length placeholder when ``keep_trajectory=False``)."""
     k = patch_size
     n = lattice.shape[0]
+    if psum_axis is not None:
+        # per-device lattice/patch key streams (the state-key streams
+        # inside _train_scan fold themselves); each device advances its
+        # OWN lattice and the aggregate statistics are psum'd
+        key = jax.random.fold_in(key, lax.axis_index(psum_axis))
     dummy_code = jnp.zeros((state.r, num_patches), state.W.dtype)
     alpha_t = jnp.asarray(alpha, state.W.dtype)
     beta_t = jnp.asarray(beta, state.W.dtype)
@@ -103,6 +109,7 @@ def ising_trajectory_learning(
             st, X, dummy_code, alpha_t, beta_t, sd_t,
             inner_iterations, batch_size, subsample, sub_iter,
             use_stopping, False, "stale", backend=backend, coder=coder,
+            psum_axis=psum_axis,
         )
         return st
 

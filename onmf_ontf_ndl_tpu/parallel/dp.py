@@ -36,7 +36,8 @@ from onmf_ontf_ndl_tpu.models.onmf import _step_inner, _train_scan
 
 __all__ = ["dp_onmf_step", "dp_train_dict", "dp_train_image_dict",
            "dp_ndl_train", "dp_reconstruct_network_sparse",
-           "merge_recon_shards", "dp_recons_edges", "shard_batch"]
+           "merge_recon_shards", "dp_recons_edges", "shard_batch",
+           "dp_ising_learning", "dp_train_tensor_dict"]
 
 
 def shard_batch(mesh: Mesh, X: jax.Array, axis: str = "dp") -> jax.Array:
@@ -261,6 +262,154 @@ def dp_train_image_dict(
     sd = jnp.asarray(stopping_diff if use_stopping else 0.0, img.dtype)
     return train(state, img, jnp.asarray(alpha, img.dtype),
                  jnp.asarray(beta, img.dtype), sd)
+
+
+@functools.lru_cache(maxsize=64)
+def _dp_ising_fn(mesh, ising_iterations, nsteps, num_patches,
+                 inner_iterations, batch_size, patch_size, sampler,
+                 update_lattice, sub_iter, use_stopping, backend,
+                 subsample, coder, axis):
+    from onmf_ontf_ndl_tpu.apps.ising import ising_trajectory_learning
+
+    def local(st, lattices, key, J, H_field, T, alpha, beta, sd):
+        st, dict_stack, errors, lat, _ = ising_trajectory_learning(
+            st, lattices[0], key,
+            ising_iterations=ising_iterations, nsteps=nsteps,
+            num_patches=num_patches, inner_iterations=inner_iterations,
+            batch_size=batch_size, patch_size=patch_size,
+            J=J, H_field=H_field, T=T, alpha=alpha, beta=beta,
+            sub_iter=sub_iter, stopping_diff=sd, sampler=sampler,
+            update_lattice=update_lattice, keep_trajectory=False,
+            use_stopping=use_stopping, backend=backend,
+            subsample=subsample, coder=coder, psum_axis=axis,
+        )
+        return st, dict_stack, errors, lat[None]
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis, None, None), P(), P(), P(), P(), P(), P(),
+                  P()),
+        out_specs=(P(), P(), P(), P(axis, None, None)),
+        check_vma=False,
+    ))
+
+
+def dp_ising_learning(
+    mesh: Mesh,
+    state: OnmfState,
+    lattices: jax.Array,
+    key: jax.Array,
+    *,
+    ising_iterations: int,
+    nsteps: int,
+    num_patches_per_device: int,
+    inner_iterations: int,
+    batch_size: int,
+    patch_size: int,
+    J: float = 1.0,
+    H_field: float = 0.0,
+    T: float = 0.5,
+    alpha: float = 0.0,
+    beta: float = 1.0,
+    sub_iter: int = 10,
+    stopping_diff: float = 0.01,
+    sampler: str = "checkerboard",
+    update_lattice: bool = True,
+    use_stopping: bool = True,
+    subsample: bool = False,
+    coder: str = "bcd",
+    axis: str = "dp",
+    backend: str = "auto",
+):
+    """Data-parallel Ising trajectory learning: an ENSEMBLE of lattices,
+    one per device, each advanced by its own MCMC chain (key streams
+    decorrelated by device index), with the full aggregate statistics —
+    including ``C = agg X X^T`` for the surrogate error — psum'd every
+    inner step. Each dictionary update therefore sees the cross-device
+    ``num_patches_per_device * ndev`` patch sample: the multi-chip form
+    of :func:`onmf_ontf_ndl_tpu.apps.ising.ising_trajectory_learning`
+    (reference loop ``/root/reference/ising_reconstruction.py:99-179``,
+    which runs ONE lattice; the ensemble is the TPU-native scale-out of
+    the trajectory, like the NDL chain ensembles).
+
+    ``lattices``: (ndev, L, L) int8 spin configurations, sharded over
+    ``axis`` (one lattice per device). Returns
+    ``(state, dict_stack, errors, lattices)`` with state/dict_stack/
+    errors replicated (identical on every device — the surrogate error
+    is computed from the psum'd aggregates) and ``lattices`` the final
+    sharded ensemble.
+    """
+    from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
+
+    ndev = mesh.shape[axis]
+    if lattices.ndim != 3 or lattices.shape[0] != ndev:
+        raise ValueError(
+            f"dp_ising_learning: lattices must be (ndev={ndev}, L, L), "
+            f"got {lattices.shape}")
+    run = _dp_ising_fn(
+        mesh, int(ising_iterations), int(nsteps),
+        int(num_patches_per_device), int(inner_iterations),
+        int(batch_size), int(patch_size), sampler, bool(update_lattice),
+        int(sub_iter), bool(use_stopping),
+        resolve_backend(backend, bool(use_stopping)), bool(subsample),
+        coder, axis)
+    dt = state.W.dtype
+    lattices = jax.device_put(
+        lattices, NamedSharding(mesh, P(axis, None, None)))
+    return run(state, lattices, key,
+               jnp.asarray(J, dt), jnp.asarray(H_field, dt),
+               jnp.asarray(T, dt), jnp.asarray(alpha, dt),
+               jnp.asarray(beta, dt), jnp.asarray(stopping_diff, dt))
+
+
+def dp_train_tensor_dict(
+    mesh: Mesh,
+    state: OnmfState,
+    X,
+    *,
+    mode: int,
+    learn_joint_dict: bool = False,
+    iterations: int,
+    batch_size_per_device: int,
+    alpha: float = 2.0,
+    beta: float = 1.0,
+    sub_iterations: int = 10,
+    coder: str = "exact",
+    coder_sub_iter: int | None = None,
+    stopping_diff: float | None = 0.01,
+    axis: str = "dp",
+    backend: str = "auto",
+):
+    """Data-parallel ONTF: mode-unfold the patch tensor (the whole ONTF
+    trick, ``/root/reference/src/ontf.py:203-208``), shard the unfolded
+    sample columns over the mesh, and run the shared DP scan with psum'd
+    aggregates — the multi-chip form of
+    :meth:`onmf_ontf_ndl_tpu.models.ontf.OnlineNTF.train_dict_single`.
+
+    Defaults mirror the ONTF surface (PARITY.md deviation #11):
+    ``alpha=2`` (the sklearn SparseCoder default the reference tensor
+    coder uses) and ``coder="exact"`` (converged accelerated PGD, sweep
+    floor 100). The unfolded sample count must divide evenly over the
+    mesh axis. Returns the final replicated state.
+    """
+    from onmf_ontf_ndl_tpu.models.ontf import resolve_tensor_coder
+    from onmf_ontf_ndl_tpu.ops.unfold import unfold
+
+    Xu = unfold(jnp.asarray(X, state.W.dtype), mode)
+    if learn_joint_dict:
+        Xu = Xu.T
+    if Xu.shape[0] != state.W.shape[0]:
+        raise ValueError(
+            f"dp_train_tensor_dict: unfolded feature dim {Xu.shape[0]} "
+            f"!= state dim {state.W.shape[0]} (mode={mode}, "
+            f"joint={learn_joint_dict})")
+    method, sub_iter = resolve_tensor_coder(coder, sub_iterations,
+                                            coder_sub_iter)
+    return dp_train_dict(
+        mesh, state, Xu, iterations=iterations,
+        batch_size_per_device=batch_size_per_device, alpha=alpha,
+        beta=beta, sub_iter=sub_iter, stopping_diff=stopping_diff,
+        coder=method, axis=axis, backend=backend)
 
 
 @functools.lru_cache(maxsize=64)

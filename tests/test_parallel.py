@@ -253,6 +253,84 @@ def test_dp_train_dict_block_sampling():
     np.testing.assert_array_equal(np.asarray(st2.W), np.asarray(st3.W))
 
 
+def test_dp_ising_learning_virtual_mesh():
+    """DP Ising trajectory learning: an 8-lattice ensemble (one per
+    device), psum'd full aggregates incl. C; replicated outputs,
+    deterministic, and the surrogate error is computed from the psum'd
+    statistics (finite, correct trace shape)."""
+    from onmf_ontf_ndl_tpu.parallel.dp import dp_ising_learning
+    from onmf_ontf_ndl_tpu.samplers.ising import init_lattice
+
+    ndev = 8
+    mesh = make_mesh({"dp": ndev})
+    lats = jnp.stack([init_lattice(k, 12) for k in
+                      jax.random.split(jax.random.key(0), ndev)])
+    st = init_state(jax.random.key(1), 16, 5, track_xxt=True,
+                    dtype=jnp.float64)
+
+    run = lambda: dp_ising_learning(
+        mesh, st, lats, jax.random.key(2), ising_iterations=3, nsteps=20,
+        num_patches_per_device=10, inner_iterations=4, batch_size=5,
+        patch_size=4, T=1.0)
+    st2, dstack, errs, lats2 = run()
+    assert dstack.shape == (4, 16, 5)
+    assert errs.shape == (4,)
+    assert np.isfinite(np.asarray(errs)).all()
+    W = np.asarray(st2.W)
+    assert (W >= 0).all() and np.isfinite(W).all()
+    assert (np.linalg.norm(W, axis=0) <= 1 + 1e-9).all()
+    # lattices stay valid +-1 spins and are per-device distinct
+    s = np.asarray(lats2, np.float64)
+    assert s.shape == (ndev, 12, 12)
+    assert set(np.unique(s)).issubset({-1.0, 1.0})
+    assert any(not np.array_equal(s[0], s[d]) for d in range(1, ndev))
+    # aggregates (incl. the full C statistic) replicated identically:
+    # a dropped psum would leave per-device copies diverged
+    for arr in (st2.A, st2.B, st2.C):
+        shards = [np.asarray(sh.data) for sh in arr.addressable_shards]
+        for sh in shards[1:]:
+            np.testing.assert_array_equal(sh, shards[0])
+    # deterministic
+    st3, _, errs3, _ = run()
+    np.testing.assert_array_equal(np.asarray(st2.W), np.asarray(st3.W))
+    np.testing.assert_array_equal(np.asarray(errs), np.asarray(errs3))
+
+
+def test_dp_tensor_trainer_virtual_mesh():
+    """DP ONTF: unfolded tensor columns sharded over the mesh; the ONTF
+    surface defaults (alpha=2, exact coder) apply; replicated result,
+    deterministic, learns."""
+    from onmf_ontf_ndl_tpu.parallel.dp import dp_train_tensor_dict
+
+    mesh = make_mesh({"dp": 8})
+    # (k^2, 3, n) color patch tensor, joint mode-2 dictionary (the
+    # reference driver's configuration)
+    Xt = jnp.asarray(RNG.random((9, 3, 16)), jnp.float64)
+    st = init_state(jax.random.key(3), 27, 4, dtype=jnp.float64)
+    run = lambda: dp_train_tensor_dict(
+        mesh, st, Xt, mode=2, learn_joint_dict=True, iterations=5,
+        batch_size_per_device=2, coder_sub_iter=20)
+    st2 = run()
+    assert float(st2.t) == 5.0
+    W = np.asarray(st2.W)
+    assert (W >= 0).all() and np.isfinite(W).all()
+    assert (np.linalg.norm(W, axis=0) <= 1 + 1e-9).all()
+    shards = [np.asarray(sh.data) for sh in st2.A.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(sh, shards[0])
+    st3 = run()
+    np.testing.assert_array_equal(np.asarray(st2.W), np.asarray(st3.W))
+    # shape guard: marginal mode-0 dictionary has d=k^2
+    st0 = init_state(jax.random.key(4), 9, 4, dtype=jnp.float64)
+    st0b = dp_train_tensor_dict(
+        mesh, st0, Xt, mode=0, iterations=3, batch_size_per_device=2,
+        coder_sub_iter=5)
+    assert st0b.W.shape == (9, 4)
+    with pytest.raises(ValueError, match="unfolded feature dim"):
+        dp_train_tensor_dict(mesh, st0, Xt, mode=1, iterations=2,
+                             batch_size_per_device=2)
+
+
 def test_merge_recon_shards_exact():
     """The DP recon host merge is exactly the global per-pair mean:
     sum-of-shard-sums / sum-of-shard-counts, regrouped by pair."""
