@@ -42,6 +42,101 @@ def torus_edges(m):
     return e
 
 
+def ba_edges(n, m=2, seed=0, chunk=4096):
+    """Preferential-attachment (Barabási–Albert) edge list: the
+    heavy-tailed benchmark input (max_deg ~ m*sqrt(n) vs mean 2m — a
+    1M-node m=2 graph has hubs near degree 2,000 against a mean of 4).
+    Standard repeated-endpoint bag; targets for a chunk of new nodes
+    are drawn against the bag as of the chunk start (chunk-stale
+    weights — same tail exponent, vectorized: an exact per-node loop is
+    minutes of Python at 1M nodes on this 1-core host). Seeded from an
+    (m+1)-clique; duplicate targets within a node are deduped by the
+    graph builders. Node labels equal first-appearance order by
+    construction (sources ascend, targets precede their sources)."""
+    rng = np.random.default_rng(seed)
+    if not n > m >= 1:
+        raise ValueError(f"need n > m >= 1, got n={n} m={m}")
+    init = np.asarray([(i, j) for i in range(m + 1) for j in range(i)],
+                      np.int64)
+    cap = 2 * (m * n + init.shape[0])
+    bag = np.empty(cap, np.int64)
+    bl = init.size
+    bag[:bl] = init.reshape(-1)
+    pieces = [init]
+    node = m + 1
+    while node < n:
+        # cap each chunk so it adds at most as many bag entries as
+        # already exist (staleness bounded 2x): an unbounded first
+        # chunk would attach thousands of nodes to the seed clique and
+        # inflate the hubs far past the BA max_deg ~ m*sqrt(n) tail
+        c = min(chunk, n - node, max(1, bl // (2 * m)))
+        tgt = bag[rng.integers(0, bl, c * m)]
+        src = np.repeat(np.arange(node, node + c, dtype=np.int64), m)
+        e = np.stack([src, tgt], axis=1)
+        pieces.append(e)
+        bag[bl:bl + e.size] = e.reshape(-1)
+        bl += e.size
+        node += c
+    return np.concatenate(pieces, axis=0)
+
+
+def big_ba_ndl(n=1_048_576, m=2, recons_iter=4_800_000, num_chains=16384,
+               chunks=1, cap=None):
+    """Heavy-tailed (power-law) NDL at scale: CsrGraph train + sparse
+    reconstruction on a Barabási–Albert graph. Training uses the Glauber
+    chain and reconstruction the Pivot chain — the reference's own
+    recommended configuration for real networks ("keep false to use
+    Pivot chain for recons.", network_reconstruction_nx.py:573-574);
+    the Glauber candidate kernel and the pair fetch route through the
+    binary-search membership paths (samplers/motif.py) that hub rows
+    require."""
+    from run_all import fence, steady
+    from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+
+    import jax.numpy as jnp
+    fence(jnp.ones(8))
+    t0 = time.time()
+    edges = ba_edges(n, m)
+    t_gen = time.time() - t0
+    t0 = time.time()
+    g = csr_graph_from_edges(edges)
+    t_load = time.time() - t0
+    print(f"BA n={n} m={m}: {g.num_nodes} nodes, {g.num_edges} edges, "
+          f"max_deg {g.max_deg}, gen {t_gen:.1f}s, csr built+shipped in "
+          f"{t_load:.1f}s", file=sys.stderr)
+
+    def make():
+        return NetworkReconstructor(
+            source=g, n_components=25, MCMC_iterations=50,
+            sub_iterations=30, sample_size=500, batch_size=100, k1=0,
+            k2=2, num_chains=16, fast=True, seed=0,
+            is_glauber_recons=False)
+
+    fence(make().train_dict())
+    rec = make()
+    t0 = time.time()
+    rec.train_dict(); fence(rec.W)
+    t_train = time.time() - t0
+    t_rec, _ = steady(lambda: rec.reconstruct_network(
+        recons_iter=recons_iter, num_chains=num_chains, chunks=chunks,
+        cap=cap))
+    acc = float(rec.compute_recons_accuracy())
+    print(f"train {t_train:.1f}s  recon {t_rec:.1f}s  accuracy {acc:.4f}",
+          file=sys.stderr)
+    out = {"nodes": int(g.num_nodes), "edges": int(g.num_edges),
+           "max_deg": int(g.max_deg), "repr": "csr", "graph": f"ba_m{m}",
+           "recon_chain": "pivot",
+           "gen_s": round(t_gen, 2), "load_s": round(t_load, 2),
+           "train_s": round(t_train, 2), "recon_s": round(t_rec, 2),
+           "recons_accuracy": round(acc, 4),
+           "recon_samples_m": round(recons_iter / 1e6, 1),
+           "recon_chains": num_chains}
+    if chunks > 1:
+        out["recon_chunks"] = chunks
+    return out
+
+
 def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096,
                   use_csr=False, chunks=1, cap=None):
     from run_all import fence, steady   # shared fencing/steady helpers
@@ -209,6 +304,13 @@ def main():
                          "pairs; default 2x a chunk's paint count — for "
                          "a degree-d graph with the k=3 path motif, "
                          "~(d^2+d) * N is a safe structural bound)")
+    ap.add_argument("--ba", type=int, default=0, metavar="N",
+                    help="heavy-tailed mode: run a Barabási–Albert graph "
+                         "with N nodes instead of a torus (Glauber "
+                         "training + Pivot reconstruction, the "
+                         "reference's recommended real-network config)")
+    ap.add_argument("--ba-m", type=int, default=2,
+                    help="BA attachment count (mean degree 2m)")
     args = ap.parse_args()
     results = {}
     if os.path.exists(OUT):
@@ -218,6 +320,27 @@ def main():
         except Exception:
             results = {}               # corrupt file: start fresh
     scale = (args.side / 180.0) ** 2
+    if args.ba:
+        key = f"ba_{args.ba}_scale_ndl_csr"
+        chains = args.chains or 16384
+        samples = (args.recon_samples
+                   or min(5 * args.ba, 19_200_000) * max(args.chunks, 1))
+        sections = [(key, lambda: big_ba_ndl(
+            args.ba, args.ba_m, recons_iter=samples, num_chains=chains,
+            chunks=args.chunks, cap=args.cap))]
+        results = {}
+        if os.path.exists(OUT):
+            try:
+                with open(OUT) as f:
+                    results = json.load(f)
+            except Exception:
+                results = {}
+        for name, fn in sections:
+            results[name] = fn()
+            with open(OUT, "w") as f:
+                json.dump(results, f, indent=2)
+        print(json.dumps({key: results[key]}))
+        return
     key = "torus_32k_scale_ndl" if args.side == 180 else (
         f"torus_{args.side * args.side}_scale_ndl")
     if args.csr:

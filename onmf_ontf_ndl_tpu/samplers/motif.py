@@ -42,6 +42,24 @@ from onmf_ontf_ndl_tpu.data.graphs import BitsetGraph, CsrGraph, Graph
 # (conservative; at the 512^2 torus the ratio is 4 vs 8192).
 _CANDIDATE_DEG_FACTOR = 8
 
+# Above this max_deg the CsrGraph membership tests switch from
+# whole-row gathers + broadcast compares (O(max_deg) elements and
+# O(max_deg^2) compares per query batch — the right trade for
+# near-regular low-degree graphs) to per-query binary search on the
+# ascending CSR rows (O(log2 max_deg) gathered elements per query,
+# INDEPENDENT of the degree distribution). Skewed/power-law graphs put
+# max_deg orders of magnitude above the typical row (a 1M-node
+# Barabasi-Albert m=2 graph: max_deg ~2,000, mean 4), so every padded
+# per-row shape pays the hub tax for every query; the binary search
+# pays ~11 elements regardless.
+_BSEARCH_DEG_THRESHOLD = 256
+
+# byte gate for the (D, k, M) slot-block forms in pair_matrices_T: past
+# ~HBM size the compiler stops fusing the block gather into its
+# consumer and buffer assignment fails outright (measured: facebook's
+# D=1045 x M=1.2M, 15 GB, remote-compile crash)
+_SLOT_BLOCK_BYTES = 8 << 30
+
 __all__ = [
     "path_adj",
     "tree_parents",
@@ -116,6 +134,34 @@ def _csr_row_slots(g, u):
     slots = g.nbr_flat.at[g.offsets[u][..., None] + d_idx].get(mode="clip")
     ok = d_idx < g.deg[u][..., None]
     return slots, ok
+
+
+def _pair_membership_bsearch(g, row: jax.Array, col: jax.Array) -> jax.Array:
+    """Edge indicators for ordered index pairs on a CSR-backed graph by
+    binary search of ``col`` in ``row``'s ascending CSR row segment.
+    ``row``/``col`` are equal-shaped int32 arrays; returns a bool array
+    of the same shape.
+
+    Cost: ``ceil(log2(max_deg)) + 3`` gathered elements per query,
+    independent of the degree distribution — the membership kernel for
+    skewed-degree (power-law) graphs, where hub rows make ``max_deg``
+    (and with it every padded per-row block shape) orders of magnitude
+    larger than the typical row. Unrolled fixed-trip lower-bound search:
+    no data-dependent control flow, all intermediates query-shaped with
+    the sample axis minor (the pair_matrices_T layout rule)."""
+    off = g.offsets.at[row].get(mode="clip")
+    deg = g.deg.at[row].get(mode="clip")
+    lo = jnp.zeros(row.shape, jnp.int32)
+    hi = deg.astype(jnp.int32)
+    for _ in range(max(int(g.max_deg).bit_length(), 1)):
+        active = lo < hi
+        mid = (lo + hi) // 2
+        v = g.nbr_flat.at[off + mid].get(mode="clip")
+        go_right = active & (v < col)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    v = g.nbr_flat.at[off + lo].get(mode="clip")
+    return (lo < deg) & (v == col)
 
 
 def _bitset_rows(g, idx: jax.Array) -> jax.Array:
@@ -202,7 +248,7 @@ def pair_matrices_T(g, embs: jax.Array, *,
     # 15 GB, remote-compile crash), so gate by the nominal block bytes
     # and fall back to the word/triple paths for high-degree graphs at
     # large sample counts.
-    if pad is not None and pad.shape[0] * k * M * 4 <= (8 << 30):
+    if pad is not None and pad.shape[0] * k * M * 4 <= _SLOT_BLOCK_BYTES:
         # padded-row membership (CSR and bitset alike): ONE gather of
         # the (D, k, M) per-NODE slot block + broadcast compare — see
         # the CsrGraph branch below for the layout rules. Measured at
@@ -216,17 +262,24 @@ def pair_matrices_T(g, embs: jax.Array, *,
         shift = col.astype(jnp.uint32) % 32
         return ((words >> shift) & jnp.uint32(1)).astype(jnp.float32)
     if isinstance(g, CsrGraph):
-        # CSR-triple fallback (no padded table — high-degree/skewed
-        # graphs): membership by candidate-row compare, rows gathered
-        # once per motif NODE — (D, k, M), k rows — and every ordered
-        # pair (q, r) tests eT[r] against node q's slots by broadcast
-        # compare. (The k^2-pair form gathered the same rows per
-        # ORDERED PAIR, 3x the elements — the measured wall of CSR
-        # reconstruction at the 262k-node torus, 9.5 s; values
-        # identical.) Slot axis OUTERMOST, sample axis minor — a
-        # (.., M, D) layout with D ~ 4 would pad the minor dim to a
-        # full 128-lane tile (the 32x blowup this function exists to
-        # avoid).
+        if (g.max_deg > _BSEARCH_DEG_THRESHOLD
+                or max(g.max_deg, 1) * k * M * 4 > _SLOT_BLOCK_BYTES):
+            # skewed-degree / hub-row regime: the (D, k, M) slot block
+            # pays max_deg elements per row for every row (28 GB
+            # nominal at a 1M-node BA graph's D~2000, M=1.2M — it
+            # would not even buffer-assign); binary search pays
+            # ~log2(max_deg) elements per PAIR instead
+            return _pair_membership_bsearch(g, row, col).astype(jnp.float32)
+        # CSR-triple fallback (no padded table): membership by
+        # candidate-row compare, rows gathered once per motif NODE —
+        # (D, k, M), k rows — and every ordered pair (q, r) tests
+        # eT[r] against node q's slots by broadcast compare. (The
+        # k^2-pair form gathered the same rows per ORDERED PAIR, 3x
+        # the elements — the measured wall of CSR reconstruction at
+        # the 262k-node torus, 9.5 s; values identical.) Slot axis
+        # OUTERMOST, sample axis minor — a (.., M, D) layout with
+        # D ~ 4 would pad the minor dim to a full 128-lane tile (the
+        # 32x blowup this function exists to avoid).
         D = max(g.max_deg, 1)
         d_idx = jnp.arange(D, dtype=jnp.int32)[:, None, None]
         off = g.offsets.at[eT].get(mode="clip")            # (k, M)
@@ -386,6 +439,14 @@ def glauber_update(key: jax.Array, B: np.ndarray, parents: tuple[int, ...],
                 word = g.bits.at[imgs[t], cand // 32].get(mode="clip")
                 member = ((word >> cand.astype(jnp.uint32) % 32)
                           & jnp.uint32(1)) > 0
+            elif g.max_deg > _BSEARCH_DEG_THRESHOLD:
+                # hub-row regime: D^2 broadcast compares per constraint
+                # would be ~4M ops per chain step at a BA graph's
+                # D~2000; binary search is D * log2(D) gathered
+                # elements. Same membership mask -> same rank-select
+                # draw (identical chains, tested).
+                member = _pair_membership_bsearch(
+                    g, jnp.broadcast_to(imgs[t], cand.shape), cand)
             else:
                 rowt, okt = _csr_row_slots(g, imgs[t])    # (D,)
                 member = jnp.any(

@@ -536,3 +536,65 @@ def test_csr_graph_matches_dense_everywhere():
         return out
     np.testing.assert_array_equal(np.asarray(chain(gd)),
                                   np.asarray(chain(gc)))
+
+
+def test_bsearch_membership_skewed_degree_matches_dense():
+    """On a heavy-tailed graph whose max_deg exceeds the binary-search
+    threshold, the CsrGraph pair fetch and the Glauber candidate
+    membership route through `_pair_membership_bsearch` — values and
+    DRAWS must stay identical to the dense representation (hub rows are
+    the regime the padded/(D, k, M) block forms are gated off for)."""
+    import dataclasses
+
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+    from onmf_ontf_ndl_tpu.samplers import motif
+    from onmf_ontf_ndl_tpu.samplers.motif import (
+        _pair_membership_bsearch, pair_matrices_T)
+
+    n = 2048
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(i, (i + 7) % n) for i in range(0, n, 3)]
+    # hub: node 0 connected to a 300-node block (deg ~300 > threshold)
+    edges += [(0, j) for j in range(1000, 1300)]
+    gd = graph_from_edgelist(np.asarray(edges))
+    gc = csr_graph_from_edges(np.asarray(edges))
+    # drop the padded table so the fetch exercises the hub paths
+    gc = dataclasses.replace(gc, nbr_pad_T=None)
+    assert gc.max_deg > motif._BSEARCH_DEG_THRESHOLD
+
+    # direct membership oracle on random pairs, hub rows included
+    rng = np.random.default_rng(0)
+    row = np.concatenate([rng.integers(0, n, 3000),
+                          np.zeros(1000, np.int64)])
+    col = rng.integers(0, n, 4000)
+    got = np.asarray(_pair_membership_bsearch(
+        gc, jnp.asarray(row, jnp.int32), jnp.asarray(col, jnp.int32)))
+    want = np.asarray(gd.adj)[row, col]
+    np.testing.assert_array_equal(got, want)
+
+    # batched pair-matrix fetch (the reconstruction fetch)
+    embs = jnp.asarray(
+        np.concatenate([rng.integers(0, n, (400, 3)),
+                        np.stack([np.zeros(100, np.int64),
+                                  rng.integers(1000, 1300, 100),
+                                  rng.integers(0, n, 100)], axis=1)]),
+        jnp.int32)
+    np.testing.assert_array_equal(np.asarray(pair_matrices_T(gd, embs)),
+                                  np.asarray(pair_matrices_T(gc, embs)))
+
+    # identical Glauber chains through the hub (the bsearch candidate
+    # membership must select the same rank as the dense mask)
+    B = path_adj(0, 2)
+    parents = tree_parents(B)
+    emb0 = jnp.asarray([1000, 0, 1050], jnp.int32)
+
+    def chain(g):
+        def step(emb, k):
+            emb = glauber_update(k, B, parents, g, emb)
+            return emb, emb
+        _, out = jax.lax.scan(step, emb0, jax.random.split(
+            jax.random.key(11), 600))
+        return out
+
+    np.testing.assert_array_equal(np.asarray(chain(gd)),
+                                  np.asarray(chain(gc)))

@@ -661,3 +661,36 @@ def test_edge_fetch_mask_path_matches_pair_path(monkeypatch):
     got_pairs = _edges_from_sparse_result(*args)       # no g: pair path
     np.testing.assert_array_equal(got_mask, got_pairs)
     assert len(got_mask) > 300     # the true edges survived
+
+
+def test_heavy_tail_ba_ndl_end_to_end():
+    """End-to-end NDL on a small Barabási–Albert (power-law) CsrGraph:
+    hub rows exceed the binary-search threshold, so this drives the
+    skewed-degree kernel-selection path through train (Glauber) +
+    pivot-chain reconstruction — the reference's recommended
+    real-network configuration (network_reconstruction_nx.py:573-574).
+    The reconstruction must recover a solid majority of the edges."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks"))
+    from scale_extras import ba_edges
+
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+    from onmf_ontf_ndl_tpu.samplers import motif
+
+    edges = ba_edges(5000, 2, seed=0)
+    g = csr_graph_from_edges(edges)
+    assert g.max_deg > motif._BSEARCH_DEG_THRESHOLD  # genuine hub regime
+    rec = NetworkReconstructor(
+        source=g, n_components=16, MCMC_iterations=30, sub_iterations=20,
+        sample_size=200, batch_size=50, k1=0, k2=2, num_chains=8,
+        fast=True, seed=0, is_glauber_recons=False)
+    rec.train_dict()
+    W = np.asarray(rec.W)
+    assert np.isfinite(W).all() and (W >= 0).all()
+    rec.reconstruct_network(recons_iter=60000, num_chains=256)
+    acc = float(rec.compute_recons_accuracy())
+    assert acc > 0.6, acc
