@@ -1,0 +1,168 @@
+"""Kernel/trainer characterization OFF the headline shape.
+
+The standing MFU-floor argument (docs/DESIGN.md §2, BENCH_r*.json) was
+measured at exactly one shape — r=25 (padded to 32, 1/4 of the MXU's
+128 sublanes), d=300. The reference's own configs also run rank 100
+(`/root/reference/ising_reconstruction.py:223-232`, 20x20 patches ->
+d=400) and d=441 NDL patches (k=21 arms, `network_reconstruction_nx.py:
+536-574`), where the row matvec uses 4x more of the MXU and the floor
+claim is materially tested. This sweep measures the REAL fused trainer
+(`train_dict`, block sampling, fixed 10 sweeps) across the reference's
+(rank, d) config space plus a rank-scaling probe, for both coder
+modes, and a `block_rows` microsweep of the standalone coder kernel
+per shape (retune evidence).
+
+Writes `results.json: shape_sweep`. Run manually (TPU):
+    python benchmarks/shape_sweep.py [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "results.json")
+PEAK_FLOPS_BF16 = 197e12     # TPU v5e bf16 MXU peak
+SUB_ITER = 10
+
+# (label, d, r) — the reference's config space + a rank-scaling probe
+SHAPES = [
+    ("r25_d300_color10", 300, 25),    # headline: 10x10x3 color, rank 25
+    ("r25_d100_gray10", 100, 25),     # grayscale 10x10
+    ("r100_d400_ising20", 400, 100),  # ising driver: 20x20, rank 100
+    ("r25_d441_ndl_k21", 441, 25),    # NDL k1=0,k2=20 -> 21x21 patches
+    ("r100_d300", 300, 100),          # rank scaling at fixed d
+]
+
+
+def flops_per_patch(d, r, sub_iter=SUB_ITER):
+    # same analytic model as bench.py: proj + sweeps + aggregates,
+    # per-patch terms only
+    return 4 * d * r + 2 * (sub_iter + 1) * r * r
+
+
+def measure_train(d, r, batch, coder, iters=None):
+    import jax
+    import jax.numpy as jnp
+    from onmf_ontf_ndl_tpu.models.onmf import train_dict
+    from onmf_ontf_ndl_tpu.models.state import init_state
+
+    iters = iters or max(400, 8_000_000 // batch)
+    pool = jax.random.uniform(jax.random.key(1), (d, 8192))
+    state = init_state(jax.random.key(0), d, r)
+
+    def run(st):
+        st, _ = train_dict(st, pool, iterations=iters + 1,
+                           batch_size=batch, alpha=0.0, beta=1.0,
+                           sub_iter=SUB_ITER, stopping_diff=None,
+                           track_code=False, coder=coder,
+                           sampling="block")
+        return st
+
+    st = run(state)
+    float(jnp.sum(st.W))                       # fence (axon: fetch)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st = run(state)
+        float(jnp.sum(st.W))
+        best = min(best, time.perf_counter() - t0)
+    return iters * batch / best
+
+
+def measure_kernel_block_rows(d, r, batch, bk, reps=300):
+    """Standalone fixed-sweep coder kernel at a given Gauss-Seidel
+    block size — the retune microbench (same math at every bk;
+    ops/pallas/coder_kernel.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import coder_sweeps
+
+    W = jax.random.uniform(jax.random.key(0), (d, r))
+    X = jax.random.uniform(jax.random.key(1), (d, batch))
+    gram = W.T @ W
+    proj = W.T @ X
+    H0 = jax.random.uniform(jax.random.key(2), (r, batch))
+
+    @jax.jit
+    def many():
+        def body(c, _):
+            H = coder_sweeps(gram, proj + c * 0, H0, 0.5,
+                             sub_iter=SUB_ITER, block_rows=bk)
+            return jnp.sum(H) * 1e-20, ()
+
+        c, _ = lax.scan(body, jnp.float32(0), (), length=reps)
+        return c
+
+    float(many())
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many())
+        best = min(best, time.perf_counter() - t0)
+    return reps * batch / best
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="one batch, no block_rows sweep")
+    ap.add_argument("--batches", type=int, nargs="*",
+                    default=[16384, 65536])
+    args = ap.parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    float(jnp.sum(jnp.ones(8)))          # backend handshake off the clock
+    print(f"backend: {jax.devices()[0].platform}", file=sys.stderr)
+
+    batches = args.batches[:1] if args.quick else args.batches
+    sweep = {}
+    for label, d, r in SHAPES:
+        fpp = flops_per_patch(d, r)
+        entry = {"d": d, "r": r, "flops_per_patch": fpp}
+        for coder in ("bcd", "fista"):
+            best, best_b = 0.0, None
+            for b in batches:
+                pps = measure_train(d, r, b, coder)
+                print(f"{label} {coder} batch {b}: {pps / 1e6:.1f}M "
+                      f"patches/s", file=sys.stderr)
+                if pps > best:
+                    best, best_b = pps, b
+            entry[f"{coder}_patches_per_s"] = round(best)
+            entry[f"{coder}_batch"] = best_b
+            entry[f"{coder}_mfu_bf16_peak"] = round(
+                best * fpp / PEAK_FLOPS_BF16, 5)
+        if not args.quick:
+            br = {}
+            for bk in (1, 2, 4, 8):
+                if bk > r:
+                    continue
+                pps = measure_kernel_block_rows(d, r, batches[-1], bk)
+                br[str(bk)] = round(pps)
+                print(f"{label} kernel block_rows={bk}: "
+                      f"{pps / 1e6:.1f}M patches/s", file=sys.stderr)
+            entry["kernel_block_rows_patches_per_s"] = br
+        sweep[label] = entry
+
+    results = {}
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                results = json.load(f)
+        except Exception:
+            results = {}
+    results["shape_sweep"] = sweep
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({"shape_sweep": sweep}))
+
+
+if __name__ == "__main__":
+    main()
