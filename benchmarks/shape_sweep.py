@@ -127,9 +127,13 @@ def main():
     for label, d, r in SHAPES:
         fpp = flops_per_patch(d, r)
         entry = {"d": d, "r": r, "flops_per_patch": fpp}
-        for coder in ("bcd", "fista"):
+        for coder in ("bcd", "fista", "fista_bf16"):
+            # bcd (the parity coder) sweeps the batch grid; the fista
+            # modes are measured at the widest batch only (their best
+            # point at the headline shape) to bound the compile count
+            coder_batches = batches if coder == "bcd" else batches[-1:]
             best, best_b = 0.0, None
-            for b in batches:
+            for b in coder_batches:
                 pps = measure_train(d, r, b, coder)
                 print(f"{label} {coder} batch {b}: {pps / 1e6:.1f}M "
                       f"patches/s", file=sys.stderr)

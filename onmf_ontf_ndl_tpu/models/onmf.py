@@ -76,18 +76,22 @@ def onmf_step(
         just-updated ones (paper semantics).
       backend: "auto" | "xla" | "pallas" — the fused kernels are used for
         the fixed-sweep path on TPU under "auto"/"pallas".
-      coder: "bcd" (reference-parity Gauss-Seidel sweeps) or "fista"
+      coder: "bcd" (reference-parity Gauss-Seidel sweeps), "fista"
         (fully MXU-parallel accelerated projected gradient — same
         objective, typically a better final objective at equal sweeps,
-        and much faster on TPU; an opt-in non-parity mode).
+        and much faster on TPU; an opt-in non-parity mode), or
+        "fista_bf16" (fista with bf16 matmul inputs + f32 accumulation
+        — the mixed-precision production mode; objective-level quality
+        asserted in tests/test_fista.py).
 
     Returns:
       (new_state, H) where H is the (r, n) nonnegative code of the batch.
     """
     if dict_from not in ("stale", "fresh"):
         raise ValueError(f"dict_from must be 'stale' or 'fresh', got {dict_from!r}")
-    if coder not in ("bcd", "fista"):
-        raise ValueError(f"coder must be 'bcd' or 'fista', got {coder!r}")
+    if coder not in ("bcd", "fista", "fista_bf16"):
+        raise ValueError(
+            f"coder must be 'bcd', 'fista' or 'fista_bf16', got {coder!r}")
     from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
 
     key = state.key
@@ -142,8 +146,9 @@ def _train_scan(
     # the default bcd path
     if sampling not in ("iid", "block"):
         raise ValueError(f"sampling must be 'iid' or 'block', got {sampling!r}")
-    if coder not in ("bcd", "fista"):
-        raise ValueError(f"coder must be 'bcd' or 'fista', got {coder!r}")
+    if coder not in ("bcd", "fista", "fista_bf16"):
+        raise ValueError(
+            f"coder must be 'bcd', 'fista' or 'fista_bf16', got {coder!r}")
     n = X.shape[1]
     r = state.r
     t0 = state.t
@@ -238,8 +243,9 @@ def _step_inner(
     the step equals the single-device step on the concatenated batch
     (the aggregates are linear in the samples; parallel/dp.py).
     """
-    if coder not in ("bcd", "fista"):
-        raise ValueError(f"coder must be 'bcd' or 'fista', got {coder!r}")
+    if coder not in ("bcd", "fista", "fista_bf16"):
+        raise ValueError(
+            f"coder must be 'bcd', 'fista' or 'fista_bf16', got {coder!r}")
     W, A, B, C = st.W, st.A, st.B, st.C
     use_pallas = backend == "pallas"
     # jax.named_scope: phases show up as annotated regions in
@@ -247,17 +253,19 @@ def _step_inner(
     with jax.named_scope("onmf.sparse_code"):
         gram = W.T @ W
         proj = W.T @ Xb
-        if coder == "fista" and use_pallas:
+        if coder in ("fista", "fista_bf16") and use_pallas:
             from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import fista_sweeps
 
             H = fista_sweeps(gram, proj, H0, jnp.asarray(alpha, W.dtype),
                              stopping_diff, sub_iter=int(sub_iter),
-                             use_stopping=use_stopping)
-        elif coder == "fista":
+                             use_stopping=use_stopping,
+                             bf16_matmul=coder == "fista_bf16")
+        elif coder in ("fista", "fista_bf16"):
             from onmf_ontf_ndl_tpu.ops.coder import _fista_impl
 
             H = _fista_impl(gram, proj, H0, jnp.asarray(alpha, W.dtype),
-                            stopping_diff, int(sub_iter), use_stopping)
+                            stopping_diff, int(sub_iter), use_stopping,
+                            bf16_matmul=coder == "fista_bf16")
         elif use_pallas and use_stopping:
             from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import (
                 coder_sweeps_earlystop)
@@ -339,8 +347,9 @@ def train_dict(
     """
     if dict_from not in ("stale", "fresh"):
         raise ValueError(f"dict_from must be 'stale' or 'fresh', got {dict_from!r}")
-    if coder not in ("bcd", "fista"):
-        raise ValueError(f"coder must be 'bcd' or 'fista', got {coder!r}")
+    if coder not in ("bcd", "fista", "fista_bf16"):
+        raise ValueError(
+            f"coder must be 'bcd', 'fista' or 'fista_bf16', got {coder!r}")
     if code0 is None:
         code0 = jnp.zeros((state.r, X.shape[1]), X.dtype)
     use_stopping = stopping_diff is not None

@@ -34,8 +34,10 @@ from jax import lax
 __all__ = ["nonneg_code", "nonneg_code_gram"]
 
 
-@functools.partial(jax.jit, static_argnames=("sub_iter", "use_stopping"))
-def _fista_impl(A, B, H0, alpha, stopping_diff, sub_iter, use_stopping):
+@functools.partial(jax.jit, static_argnames=("sub_iter", "use_stopping",
+                                              "bf16_matmul"))
+def _fista_impl(A, B, H0, alpha, stopping_diff, sub_iter, use_stopping,
+                bf16_matmul=False):
     """Accelerated projected-gradient (FISTA) nonnegative LASSO coder.
 
     The TPU-native alternative to the reference's Gauss-Seidel sweeps:
@@ -57,9 +59,18 @@ def _fista_impl(A, B, H0, alpha, stopping_diff, sub_iter, use_stopping):
     L = _lambda_max(A, 16) * 1.02 + 1e-12
     inv_L = 1.0 / L
     one_ = jnp.asarray(1.0, A.dtype)
+    # bf16_matmul: the per-iteration cost is ONE MXU matmul — exactly
+    # the op bf16 halves. Inputs are cast to bf16, accumulation and all
+    # pointwise ops (projection, momentum) stay f32; the final iterate
+    # precision is bounded by the gradient rounding, asserted at the
+    # objective level in tests/test_fista.py. An opt-in production
+    # mode (coder="fista_bf16"), never a parity path.
+    Amm = A.astype(jnp.bfloat16) if bf16_matmul else A
 
     def one(H, Y, tt):
-        G = A @ Y - B + alpha
+        Ymm = Y.astype(jnp.bfloat16) if bf16_matmul else Y
+        G = lax.dot_general(Amm, Ymm, (((1,), (0,)), ((), ())),
+                            preferred_element_type=A.dtype) - B + alpha
         Hn = jnp.maximum(Y - inv_L * G, 0.0)
         tn = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tt * tt))
         Yn = Hn + ((tt - 1.0) / tn) * (Hn - H)
@@ -219,9 +230,10 @@ def nonneg_code_gram(
         raise ValueError(
             "the trust-region (radius) coder has no fused kernel; use "
             "backend='xla' or 'auto'")
-    if method == "fista":
+    if method in ("fista", "fista_bf16"):
         if use_radius:
-            raise ValueError("method='fista' does not support radius")
+            raise ValueError(f"method={method!r} does not support radius")
+        bf16 = method == "fista_bf16"
         from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
 
         if resolve_backend(backend, use_stopping) == "pallas":
@@ -230,11 +242,14 @@ def nonneg_code_gram(
             return fista_sweeps(
                 A, B, H0, alpha,
                 stopping_diff if use_stopping else 0.0,
-                sub_iter=int(sub_iter), use_stopping=use_stopping)
+                sub_iter=int(sub_iter), use_stopping=use_stopping,
+                bf16_matmul=bf16)
         sd = jnp.asarray(stopping_diff if use_stopping else 0.0, A.dtype)
-        return _fista_impl(A, B, H0, alpha, sd, int(sub_iter), use_stopping)
+        return _fista_impl(A, B, H0, alpha, sd, int(sub_iter), use_stopping,
+                           bf16_matmul=bf16)
     if method != "bcd":
-        raise ValueError(f"method must be 'bcd' or 'fista', got {method!r}")
+        raise ValueError(
+            f"method must be 'bcd', 'fista' or 'fista_bf16', got {method!r}")
     if not use_radius:
         # both sweep modes route to the fused Pallas kernels on TPU
         from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend

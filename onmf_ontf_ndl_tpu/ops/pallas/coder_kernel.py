@@ -501,7 +501,7 @@ def coder_sweeps_earlystop(A: jax.Array, B: jax.Array, H0: jax.Array,
 
 def _fista_kernel(stop_ref, alpha_ref, invL_ref, A_ref, B_ref, H0_ref,
                   H_ref, Y_ref, vs_ref, tmom_ref, conv_ref, gw_ref, vb_ref,
-                  *, sub_iter, use_stopping, pi_iters):
+                  *, sub_iter, use_stopping, pi_iters, bf16_matmul=False):
     """Fused FISTA sweeps on one (R, TN) tile (the ``coder="fista"``
     mode of ``models/onmf.py``; semantics of ``ops/coder.py::_fista_impl``).
 
@@ -527,6 +527,12 @@ def _fista_kernel(stop_ref, alpha_ref, invL_ref, A_ref, B_ref, H0_ref,
     # staged through SMEM — A is identical for every grid cell, so the
     # sequential power-iteration chain must not repeat per cell
     inv_L = invL_ref[0, 0]
+    if bf16_matmul:
+        # bf16 inputs, f32 accumulation: the per-iteration cost is this
+        # one MXU matmul, and bf16 halves its pass count; every
+        # pointwise op and the stored iterates stay f32 (opt-in
+        # production mode, coder="fista_bf16")
+        A = A.astype(jnp.bfloat16)
     if use_stopping:
         v0 = _fixed_start(H_ref.shape[0])
         vs_ref[:, 0:1] = v0
@@ -538,7 +544,8 @@ def _fista_kernel(stop_ref, alpha_ref, invL_ref, A_ref, B_ref, H0_ref,
             H = H_ref[...]
             Y = Y_ref[...]
             G = jax.lax.dot_general(
-                A, Y, (((1,), (0,)), ((), ())),
+                A, Y.astype(jnp.bfloat16) if bf16_matmul else Y,
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) - B_ref[...] + alpha
             Hn = jnp.maximum(Y - inv_L * G, 0.0)
@@ -568,15 +575,20 @@ def _fista_kernel(stop_ref, alpha_ref, invL_ref, A_ref, B_ref, H0_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("sub_iter", "use_stopping", "block_n",
-                              "pi_iters", "interpret"))
+                              "pi_iters", "interpret", "bf16_matmul"))
 def fista_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
                  alpha=0.0, stopping_diff=0.01, *, sub_iter: int = 10,
                  use_stopping: bool = True, block_n: int | None = None,
-                 pi_iters: int = 12, interpret: bool = False) -> jax.Array:
+                 pi_iters: int = 12, interpret: bool = False,
+                 bf16_matmul: bool = False) -> jax.Array:
     """Fused FISTA nonnegative-LASSO coder from Gram form (TPU).
 
     Args/returns as :func:`coder_sweeps`; ``use_stopping=False`` runs
     exactly ``sub_iter`` accelerated projected-gradient iterations.
+    ``bf16_matmul`` runs the per-iteration MXU matmul with bf16 inputs
+    and f32 accumulation (pointwise ops and iterates stay f32) — the
+    mixed-precision production mode, objective-level quality asserted
+    in tests/test_fista.py.
     """
     # 5 (R, TN) f32 buffers: B, H0, H (out), Y scratch + margin
     plan = _tile_plan(A, B, H0, n_bufs=5, block_n=block_n)
@@ -585,7 +597,8 @@ def fista_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
 
         sd = jnp.asarray(stopping_diff if use_stopping else 0.0, B.dtype)
         return _fista_impl(A, B, H0, jnp.asarray(alpha, B.dtype), sd,
-                           int(sub_iter), use_stopping)
+                           int(sub_iter), use_stopping,
+                           bf16_matmul=bf16_matmul)
     r, n, R, TN, N, Ap, Bp, Hp = plan
     f32 = jnp.float32
     stop_arr = jnp.full((1, 1), stopping_diff if use_stopping else 0.0, f32)
@@ -598,7 +611,8 @@ def fista_sweeps(A: jax.Array, B: jax.Array, H0: jax.Array,
 
     out = _launch(
         functools.partial(_fista_kernel, sub_iter=sub_iter,
-                          use_stopping=use_stopping, pi_iters=pi_iters),
+                          use_stopping=use_stopping, pi_iters=pi_iters,
+                          bf16_matmul=bf16_matmul),
         [stop_arr, alpha_arr, invL_arr], Ap, Bp, Hp, R, TN, N,
         [
             pltpu.VMEM((R, TN), f32),

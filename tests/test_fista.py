@@ -215,3 +215,64 @@ def test_coder_typo_rejected_everywhere():
                              is_color=False, coder="FISTA")
     with pytest.raises(ValueError, match="coder"):
         rec.train_dict()
+
+
+def test_fista_bf16_objective_quality():
+    """coder='fista_bf16' (bf16 matmul inputs, f32 accumulation and
+    pointwise) must land within a small relative objective gap of the
+    f32 FISTA at equal sweeps — the gradient rounding perturbs the
+    iterate path but not solution quality. Opt-in production mode."""
+    for alpha, seed in ((0.0, 0), (1.0, 3)):
+        A, B, H0, obj = _problem(alpha=alpha, seed=seed)
+        H32 = nonneg_code_gram(A, B, H0, alpha=alpha, sub_iter=20,
+                               stopping_diff=None, backend="xla",
+                               method="fista")
+        H16 = nonneg_code_gram(A, B, H0, alpha=alpha, sub_iter=20,
+                               stopping_diff=None, backend="xla",
+                               method="fista_bf16")
+        o32, o16 = obj(H32), obj(H16)
+        assert o16 <= o32 * 1.005 + 1e-6, (o16, o32)
+        assert (np.asarray(H16) >= 0).all()
+
+
+def test_fista_bf16_kernel_matches_xla_bf16():
+    from onmf_ontf_ndl_tpu.ops.coder import _fista_impl
+    from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import fista_sweeps
+
+    A, B, H0, obj = _problem(n=200, alpha=0.5)
+    want = _fista_impl(A, B, H0, jnp.float32(0.5), jnp.float32(0.0), 10,
+                       False, bf16_matmul=True)
+    got = fista_sweeps(A, B, H0, 0.5, 0.0, sub_iter=10,
+                       use_stopping=False, interpret=True,
+                       bf16_matmul=True)
+    # identical algorithm, but interpret-mode/XLA bf16 rounding points
+    # differ -> objective-level agreement plus loose elementwise
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.05, atol=0.02)
+    assert abs(obj(got) - obj(want)) <= 0.005 * abs(obj(want)) + 1e-6
+
+
+def test_train_dict_fista_bf16_learns():
+    """End-to-end training with coder='fista_bf16' reaches an objective
+    comparable to the f32 FISTA run (same seeds)."""
+    from onmf_ontf_ndl_tpu.models.onmf import train_dict
+    from onmf_ontf_ndl_tpu.models.state import init_state
+    from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
+
+    rng = np.random.default_rng(7)
+    d, r, n = 60, 8, 400
+    Wt = np.abs(rng.standard_normal((d, r)))
+    Wt /= np.linalg.norm(Wt, axis=0)
+    X = jnp.asarray(
+        (Wt @ (np.abs(rng.standard_normal((r, n)))
+               * (rng.random((r, n)) < 0.4))).astype(np.float32))
+    outs = {}
+    for coder in ("fista", "fista_bf16"):
+        st = init_state(jax.random.key(0), d, r, dtype=jnp.float32)
+        st, _ = train_dict(st, X, iterations=60, batch_size=64,
+                           stopping_diff=None, coder=coder)
+        H = nonneg_code(X, st.W, key=jax.random.key(1), alpha=0.0,
+                        sub_iter=30, stopping_diff=None, method="fista")
+        outs[coder] = float(jnp.linalg.norm(X - st.W @ H)
+                            / jnp.linalg.norm(X))
+    assert outs["fista_bf16"] <= outs["fista"] * 1.1 + 1e-3, outs
