@@ -248,6 +248,8 @@ def serving_throughput():
         ("bcd10_fixed", dict(sub_iter=10, stopping_diff=None)),
         ("fista20", dict(sub_iter=20, stopping_diff=None,
                          method="fista")),
+        ("fista20_bf16", dict(sub_iter=20, stopping_diff=None,
+                              method="fista_bf16")),
     ):
         def many(x):
             def body(c, _):
