@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 __all__ = ["Graph", "BitsetGraph", "CsrGraph", "graph_from_edgelist",
            "graph_from_adjacency", "load_edgelist",
-           "load_edgelist_dense",
+           "load_edgelist_dense", "load_edgelist_csr",
            "bitset_graph_from_edges", "load_edgelist_bitset",
            "csr_graph_from_edges"]
 
@@ -150,6 +150,13 @@ def load_edgelist(path: str, delimiter: str = ",",
         except Exception:
             if use_native == "always":
                 raise
+    return graph_from_edgelist(_parse_edge_file(path, delimiter))
+
+
+def _parse_edge_file(path: str, delimiter: str = ",") -> np.ndarray:
+    """Permissive integer edge-list file parse shared by the loaders:
+    tries ``delimiter`` then whitespace (SNAP-style files), demanding an
+    integral (E, 2) table either way."""
     def _try(delim):
         """Parse as float (NaN marks unparseable tokens), demand an
         integral (E, 2) table; None on any failure."""
@@ -181,7 +188,18 @@ def load_edgelist(path: str, delimiter: str = ",",
             edges = ws
     if edges is None:
         raise ValueError(f"could not parse edge list {path!r}")
-    return graph_from_edgelist(edges)
+    return edges
+
+
+def load_edgelist_csr(path: str, delimiter: str = ",",
+                      use_native: str = "auto",
+                      cache_dir: str | None = None) -> CsrGraph:
+    """Edge-list file -> :class:`CsrGraph` (the O(E) million-node
+    representation), through the C++ builder when available and the
+    optional built-CSR npz cache."""
+    return csr_graph_from_edges(_parse_edge_file(path, delimiter),
+                                use_native=use_native,
+                                cache_dir=cache_dir)
 
 
 def load_edgelist_dense(path: str, delimiter: str = ",") -> np.ndarray:
@@ -366,7 +384,9 @@ def _csr_arrays(e, n):
     key.sort()
     src, dst = key // nn, key % nn
     deg = np.bincount(src, minlength=n).astype(np.int32)
-    offsets = np.concatenate([[0], np.cumsum(deg)[:-1]]).astype(np.int32)
+    # [:n] so an EMPTY graph gets (0,) offsets like everything else
+    # (the concatenate otherwise leaves a phantom [0] row at n=0)
+    offsets = np.concatenate([[0], np.cumsum(deg)[:-1]])[:n].astype(np.int32)
     return src, dst, deg, offsets
 
 

@@ -143,6 +143,13 @@ class NetworkConfig:
     num_chains: int = 1
     recons_chains: int = 1
     use_bitset: bool = False
+    # graph representation: "auto" honors use_bitset (back-compat);
+    # "dense" | "bitset" | "csr" select explicitly. "csr" is the O(E)
+    # million-node path (heavy-tail graphs route through the
+    # binary-search membership kernels); graph_cache_dir enables the
+    # built-CSR npz cache so reruns skip the host build.
+    representation: str = "auto"
+    graph_cache_dir: str | None = None
     coder: str = "bcd"
     seed: int = 0
 
@@ -151,10 +158,17 @@ class NetworkConfig:
 
         from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
 
+        rep = self.representation
+        if rep == "auto":
+            rep = "bitset" if self.use_bitset else "dense"
+        if rep not in ("dense", "bitset", "csr"):
+            raise ValueError(
+                f"representation must be 'auto', 'dense', 'bitset' or "
+                f"'csr', got {self.representation!r}")
         if self.is_WAN:
-            if self.use_bitset:
+            if rep != "dense":
                 raise ValueError(
-                    "use_bitset is for large edge-list graphs; WAN "
+                    "bitset/csr are for large edge-list graphs; WAN "
                     "weighted matrices use the dense representation")
             # WAN files are whitespace-delimited weighted matrices
             # (network_reconstruction_nx.py:64-67), not edge lists
@@ -172,10 +186,15 @@ class NetworkConfig:
                 is_glauber_recons=self.is_glauber_recons,
                 fast=self.fast, num_chains=self.num_chains, seed=self.seed, coder=self.coder,
             )
-        if self.use_bitset:
+        if rep == "bitset":
             from onmf_ontf_ndl_tpu.data.graphs import load_edgelist_bitset
 
             source = load_edgelist_bitset(self.source)
+        elif rep == "csr":
+            from onmf_ontf_ndl_tpu.data.graphs import load_edgelist_csr
+
+            source = load_edgelist_csr(self.source,
+                                       cache_dir=self.graph_cache_dir)
         else:
             source = self.source
         return NetworkReconstructor(

@@ -254,6 +254,54 @@ def test_cli_network_bitset_sparse_end_to_end(tmp_path):
                          delimiter=",").shape[1] == 2
 
 
+def test_cli_network_csr_representation(tmp_path):
+    # --representation csr: the O(E) million-node path from the CLI,
+    # with the built-CSR npz cache
+    import numpy as np
+    ef = tmp_path / "ring.txt"
+    with open(ef, "w") as f:
+        for i in range(30):
+            f.write(f"{i},{(i + 1) % 30}\n")
+            f.write(f"{i},{(i + 2) % 30}\n")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = ""
+    cache = tmp_path / "gcache"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from onmf_ontf_ndl_tpu.cli import main;"
+        f"main(['network','--out-dir',{str(tmp_path)!r},"
+        f"'--source',{str(ef)!r},'--representation','csr',"
+        f"'--graph-cache-dir',{str(cache)!r},'--fast','true',"
+        "'--n-components','4','--mcmc-iterations','2',"
+        "'--sub-iterations','3','--sample-size','20','--batch-size','5',"
+        "'--k1','0','--k2','1','--num-chains','2','--recons-chains','2',"
+        "'--recons-iter','200'])"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    meta = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "recons_accuracy" in meta
+    # CsrGraph auto-routes to the sparse reconstruction -> edge list,
+    # and the cache holds one built-CSR npz
+    assert os.path.exists(tmp_path / "recons_edges.txt")
+    assert len([f for f in os.listdir(cache)
+                if f.endswith(".npz")]) == 1
+
+
+def test_network_config_representation_validation():
+    import pytest
+
+    from onmf_ontf_ndl_tpu.utils.config import NetworkConfig
+
+    with pytest.raises(ValueError, match="representation must be"):
+        NetworkConfig(source="x.txt", representation="sparse").build()
+    with pytest.raises(ValueError, match="dense representation"):
+        NetworkConfig(source="x.txt", is_WAN=True,
+                      representation="csr").build()
+
+
 def test_checkpoint_path_suffix_and_extra_dtypes(tmp_path):
     """save/load/exists agree on suffix-less paths, and extras keep
     their saved dtypes (ints are not float-cast)."""
