@@ -137,6 +137,44 @@ def big_ba_ndl(n=1_048_576, m=2, recons_iter=4_800_000, num_chains=16384,
     return out
 
 
+def facebook_csr(data_dir="/root/reference/Data"):
+    """The reference main()'s facebook config (4,039 nodes, max_deg
+    1,045 — a REAL skewed-degree graph, 21-node path motif) through the
+    CsrGraph + binary-search membership paths, for direct comparison
+    with the standing dense-representation record
+    (``results.json: facebook_ndl_reference_main_config``)."""
+    from run_all import fence, steady
+    from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
+    from onmf_ontf_ndl_tpu.data.graphs import load_edgelist_csr
+    from onmf_ontf_ndl_tpu.samplers import motif
+
+    import jax.numpy as jnp
+    fence(jnp.ones(8))
+    g = load_edgelist_csr(f"{data_dir}/Networks/facebook_combined.txt")
+    assert g.max_deg > motif._BSEARCH_DEG_THRESHOLD
+
+    def make():
+        return NetworkReconstructor(
+            source=g, n_components=25, MCMC_iterations=20,
+            sub_iterations=20, sample_size=500, batch_size=20, k1=0,
+            k2=20, alpha=0.1, is_glauber_dict=True,
+            is_glauber_recons=False, fast=True, num_chains=8)
+
+    fence(make().train_dict())
+    rec = make()
+    t0 = time.time()
+    rec.train_dict(); fence(rec.W)
+    train_s = time.time() - t0
+    recon_s, _ = steady(lambda: rec.reconstruct_network(
+        recons_iter=100_000, num_chains=256))
+    acc = float(rec.compute_recons_accuracy())
+    print(f"facebook csr: train {train_s:.1f}s recon {recon_s:.1f}s "
+          f"accuracy {acc:.4f}", file=sys.stderr)
+    return {"nodes": int(g.num_nodes), "max_deg": int(g.max_deg),
+            "repr": "csr", "train_s": round(train_s, 2),
+            "recon_s": round(recon_s, 2), "recons_accuracy": round(acc, 4)}
+
+
 def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096,
                   use_csr=False, chunks=1, cap=None):
     from run_all import fence, steady   # shared fencing/steady helpers
@@ -306,6 +344,10 @@ def main():
                          "pairs; default 2x a chunk's paint count — for "
                          "a degree-d graph with the k=3 path motif, "
                          "~(d^2+d) * N is a safe structural bound)")
+    ap.add_argument("--facebook-csr", action="store_true",
+                    help="run the reference's facebook config through "
+                         "CsrGraph + binary-search membership (real "
+                         "skewed-degree graph, max_deg 1045)")
     ap.add_argument("--ba", type=int, default=0, metavar="N",
                     help="heavy-tailed mode: run a Barabási–Albert graph "
                          "with N nodes instead of a torus (Glauber "
@@ -322,6 +364,20 @@ def main():
         except Exception:
             results = {}               # corrupt file: start fresh
     scale = (args.side / 180.0) ** 2
+    if args.facebook_csr:
+        results = {}
+        if os.path.exists(OUT):
+            try:
+                with open(OUT) as f:
+                    results = json.load(f)
+            except Exception:
+                results = {}
+        results["facebook_ndl_csr_bsearch"] = facebook_csr()
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(
+            {"facebook_ndl_csr_bsearch": results["facebook_ndl_csr_bsearch"]}))
+        return
     if args.ba:
         key = f"ba_{args.ba}_scale_ndl_csr"
         chains = args.chains or 16384
@@ -361,7 +417,10 @@ def main():
     # chains 0.889 but +27% wall; 16384 is the sweet spot
     chains = args.chains or (4096 if args.side <= 180 else (
         8192 if args.side <= 360 else (16384 if args.side <= 512
-                                       else 32768)))
+                                       else 65536)))
+    # (65536 past side 512: the standing million-node+ records all use
+    # 65536-chain ensembles — a 32768 rerun measured 126 s / 0.777 vs
+    # 91 s / 0.818 at the 9.4M point; width is coverage AND speed there)
     # the 4.8M cap is a BITSET-HBM budget; the pure-CSR representation
     # frees ~8.6 GB at side >= 512 and takes a 4x larger budget
     cap = 19_200_000 if args.csr else 4_800_000
