@@ -598,3 +598,57 @@ def test_bsearch_membership_skewed_degree_matches_dense():
 
     np.testing.assert_array_equal(np.asarray(chain(gd)),
                                   np.asarray(chain(gc)))
+
+
+def test_bsearch_membership_fuzz_random_graphs():
+    """Property fuzz of the binary-search membership against the dense
+    oracle across random graph sizes/densities, with the threshold
+    forced low so even small-degree graphs route through bsearch
+    (distinct node counts per case keep the jit caches disjoint)."""
+    import dataclasses
+
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+    from onmf_ontf_ndl_tpu.samplers import motif
+    from onmf_ontf_ndl_tpu.samplers.motif import (
+        _pair_membership_bsearch, pair_matrices_T)
+
+    rng = np.random.default_rng(12)
+    old = motif._BSEARCH_DEG_THRESHOLD
+    try:
+        motif._BSEARCH_DEG_THRESHOLD = 1
+        for n, e_count in ((51, 60), (130, 800), (257, 4000)):
+            e = rng.integers(0, n, (e_count, 2))
+            e = e[e[:, 0] != e[:, 1]]
+            gd = graph_from_edgelist(e, num_nodes=n)
+            gc = dataclasses.replace(csr_graph_from_edges(e),
+                                     nbr_pad_T=None)
+            if gc.num_nodes != n:      # isolated-node padding differs
+                gd = graph_from_edgelist(e)
+            row = jnp.asarray(rng.integers(0, gc.num_nodes, 500),
+                              jnp.int32)
+            col = jnp.asarray(rng.integers(0, gc.num_nodes, 500),
+                              jnp.int32)
+            got = np.asarray(_pair_membership_bsearch(gc, row, col))
+            want = np.asarray(gd.adj)[np.asarray(row), np.asarray(col)]
+            np.testing.assert_array_equal(got, want)
+            embs = jnp.asarray(
+                rng.integers(0, gc.num_nodes, (64, 3)), jnp.int32)
+            np.testing.assert_array_equal(
+                np.asarray(pair_matrices_T(gd, embs)),
+                np.asarray(pair_matrices_T(gc, embs)))
+            # chains stay identical through the forced-bsearch branch
+            B = path_adj(0, 2)
+            parents = tree_parents(B)
+            emb0 = tree_sample(jax.random.key(n), parents, gd,
+                               jnp.int32(0))
+            def chain(g, e0=emb0, B=B, parents=parents):
+                def step(emb, k):
+                    emb = glauber_update(k, B, parents, g, emb)
+                    return emb, emb
+                _, out = jax.lax.scan(
+                    step, e0, jax.random.split(jax.random.key(n + 1), 200))
+                return out
+            np.testing.assert_array_equal(np.asarray(chain(gd)),
+                                          np.asarray(chain(gc)))
+    finally:
+        motif._BSEARCH_DEG_THRESHOLD = old
