@@ -81,7 +81,7 @@ def ba_edges(n, m=2, seed=0, chunk=4096):
 
 
 def big_ba_ndl(n=1_048_576, m=2, recons_iter=4_800_000, num_chains=16384,
-               chunks=1, cap=None):
+               chunks=1, cap=None, train_chunk=0):
     """Heavy-tailed (power-law) NDL at scale: CsrGraph train + sparse
     reconstruction on a Barabási–Albert graph. Training uses the Glauber
     chain and reconstruction the Pivot chain — the reference's own
@@ -113,10 +113,10 @@ def big_ba_ndl(n=1_048_576, m=2, recons_iter=4_800_000, num_chains=16384,
             k2=2, num_chains=16, fast=True, seed=0,
             is_glauber_recons=False)
 
-    fence(make().train_dict())
+    fence(make().train_dict(checkpoint_every=train_chunk))
     rec = make()
     t0 = time.time()
-    rec.train_dict(); fence(rec.W)
+    rec.train_dict(checkpoint_every=train_chunk); fence(rec.W)
     t_train = time.time() - t0
     t_rec, _ = steady(lambda: rec.reconstruct_network(
         recons_iter=recons_iter, num_chains=num_chains, chunks=chunks,
@@ -134,6 +134,8 @@ def big_ba_ndl(n=1_048_576, m=2, recons_iter=4_800_000, num_chains=16384,
            "recon_chains": num_chains}
     if chunks > 1:
         out["recon_chunks"] = chunks
+    if train_chunk:
+        out["train_chunk"] = train_chunk
     return out
 
 
@@ -355,6 +357,14 @@ def main():
                          "reference's recommended real-network config)")
     ap.add_argument("--ba-m", type=int, default=2,
                     help="BA attachment count (mean degree 2m)")
+    ap.add_argument("--train-chunk", type=int, default=0,
+                    help="split training into device programs of this "
+                         "many MCMC iterations (0 = one fused scan). "
+                         "Identical math; use it when the fused program "
+                         "runs long enough to trip the serving "
+                         "runtime's program-duration limit (the 4.2M-"
+                         "node BA train dies as one ~95 s program, "
+                         "completes as ten ~9.5 s ones)")
     args = ap.parse_args()
     results = {}
     if os.path.exists(OUT):
@@ -365,13 +375,6 @@ def main():
             results = {}               # corrupt file: start fresh
     scale = (args.side / 180.0) ** 2
     if args.facebook_csr:
-        results = {}
-        if os.path.exists(OUT):
-            try:
-                with open(OUT) as f:
-                    results = json.load(f)
-            except Exception:
-                results = {}
         results["facebook_ndl_csr_bsearch"] = facebook_csr()
         with open(OUT, "w") as f:
             json.dump(results, f, indent=2)
@@ -385,14 +388,8 @@ def main():
                    or min(5 * args.ba, 19_200_000) * max(args.chunks, 1))
         sections = [(key, lambda: big_ba_ndl(
             args.ba, args.ba_m, recons_iter=samples, num_chains=chains,
-            chunks=args.chunks, cap=args.cap))]
-        results = {}
-        if os.path.exists(OUT):
-            try:
-                with open(OUT) as f:
-                    results = json.load(f)
-            except Exception:
-                results = {}
+            chunks=args.chunks, cap=args.cap,
+            train_chunk=args.train_chunk))]
         for name, fn in sections:
             results[name] = fn()
             with open(OUT, "w") as f:

@@ -32,27 +32,14 @@ import time
 
 
 def ba_edges(n, m=2, seed=0, chunk=4096):
-    """Vectorized preferential attachment (see benchmarks/scale_extras.py)."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    init = np.asarray([(i, j) for i in range(m + 1) for j in range(i)],
-                      np.int64)
-    bag = np.empty(2 * (m * n + init.shape[0]), np.int64)
-    bl = init.size
-    bag[:bl] = init.reshape(-1)
-    pieces = [init]
-    node = m + 1
-    while node < n:
-        c = min(chunk, n - node, max(1, bl // (2 * m)))
-        tgt = bag[rng.integers(0, bl, c * m)]
-        src = np.repeat(np.arange(node, node + c, dtype=np.int64), m)
-        e = np.stack([src, tgt], axis=1)
-        pieces.append(e)
-        bag[bl:bl + e.size] = e.reshape(-1)
-        bl += e.size
-        node += c
-    return np.concatenate(pieces, axis=0)
+    """Vectorized preferential attachment — single source of truth in
+    ``benchmarks/scale_extras.py`` (imported, not copied, so the
+    staleness-cap logic and the n > m >= 1 validation live in one
+    place; scale_extras has no heavyweight module-level imports)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks"))
+    from scale_extras import ba_edges as _ba_edges
+    return _ba_edges(n, m=m, seed=seed, chunk=chunk)
 
 
 def main():

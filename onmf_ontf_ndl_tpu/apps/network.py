@@ -860,7 +860,16 @@ class NetworkReconstructor:
         interrupted run from the checkpoint, recovering the completed
         MCMC-iteration count from the schedule counter ``state.t`` and
         running only the remainder (the reference's first-iteration code
-        discard is applied exactly once per logical run)."""
+        discard is applied exactly once per logical run).
+
+        ``checkpoint_every=N`` WITHOUT a path chunks the same way but
+        skips the file writes: pure execution chunking. Use it to bound
+        the single-device-program runtime — at million-node scale the
+        one fused 50-iteration scan can run minutes, and serving
+        runtimes that cap program duration (or preempt long programs)
+        kill it; N-iteration programs are equal math in equal total
+        time (measured: the 4.2M-node heavy-tail train crashes the
+        worker as one ~95 s program and completes as ten 9.4 s ones)."""
         from onmf_ontf_ndl_tpu.ops.pallas import resolve_backend
 
         if (checkpoint_path or resume) and checkpoint_every <= 0:
@@ -888,7 +897,23 @@ class NetworkReconstructor:
             )
             return code_new
 
-        if checkpoint_path and checkpoint_every > 0:
+        if checkpoint_every > 0 and not checkpoint_path:
+            # pure execution chunking: identical math to the fused run
+            # (the carried state, embedding, and PRNG key all round-trip
+            # through self), split into bounded device programs
+            total = None
+            done = 0
+            while done < self.MCMC_iterations:
+                chunk = min(checkpoint_every, self.MCMC_iterations - done)
+                code_new = run(chunk, discard_first=(done == 0))
+                total = code_new if total is None else total + code_new
+                done += chunk
+            # same cross-call accumulation rule as the fused branch
+            if self.code.shape == total.shape:
+                self.code = self.code + total
+            else:
+                self.code = total
+        elif checkpoint_path and checkpoint_every > 0:
             import os as _os
 
             from onmf_ontf_ndl_tpu.utils.checkpoint import (

@@ -207,9 +207,16 @@ def load_edgelist_dense(path: str, delimiter: str = ",") -> np.ndarray:
     reference's ``read_networks`` (``network_reconstruction_nx.py:56-62``,
     dead code there: nothing calls it). Node order is first appearance
     in the file, matching ``nx.read_edgelist`` + ``nx.to_numpy_matrix``
-    insertion order and this module's interning invariant."""
-    g = load_edgelist(path, delimiter=delimiter)
-    return np.asarray(g.adj, dtype=np.float64)
+    insertion order and this module's interning invariant. Built
+    entirely on host — the result is an ndarray nothing on the device
+    needs, so shipping an N^2 adjacency over the ~1 MB/s tunnel both
+    ways (as building a :class:`Graph` first would) is pure waste."""
+    e, node_ids = _intern_edges(_parse_edge_file(path, delimiter))
+    n = len(node_ids)
+    a = np.zeros((n, n), np.float64)
+    a[e[:, 0], e[:, 1]] = 1.0
+    a[e[:, 1], e[:, 0]] = 1.0
+    return a
 
 
 @jax.tree_util.register_dataclass
@@ -533,16 +540,27 @@ def csr_graph_from_edges(edges, *, use_native: str = "auto",
         os.makedirs(cache_dir, exist_ok=True)
         cache_path = os.path.join(
             cache_dir, f"csr_{_csr_cache_key(edges)}.npz")
+        dst = None
         if os.path.exists(cache_path):
-            z = np.load(cache_path)
-            dst, offsets, deg, node_ids = (z["dst"], z["offsets"],
-                                           z["deg"], z["node_ids"])
-            max_deg = int(z["max_deg"])
-        else:
+            # a killed run can leave a truncated npz behind — treat any
+            # unreadable cache file as a miss and rebuild over it
+            try:
+                z = np.load(cache_path)
+                dst, offsets, deg, node_ids = (z["dst"], z["offsets"],
+                                               z["deg"], z["node_ids"])
+                max_deg = int(z["max_deg"])
+            except Exception:
+                dst = None
+        if dst is None:
             dst, offsets, deg, node_ids, max_deg = _host_csr_build(
                 edges, use_native)
-            np.savez(cache_path, dst=dst, offsets=offsets, deg=deg,
+            # write-to-temp + atomic rename so a kill mid-save never
+            # leaves a half-written file under the final name (.npz
+            # suffix keeps np.savez from appending its own)
+            tmp_path = cache_path + f".{os.getpid()}.tmp.npz"
+            np.savez(tmp_path, dst=dst, offsets=offsets, deg=deg,
                      node_ids=node_ids, max_deg=max_deg)
+            os.replace(tmp_path, cache_path)
     else:
         dst, offsets, deg, node_ids, max_deg = _host_csr_build(
             edges, use_native)

@@ -346,6 +346,14 @@ def dp_ising_learning(
         raise ValueError(
             f"dp_ising_learning: lattices must be (ndev={ndev}, L, L), "
             f"got {lattices.shape}")
+    if state.C is None:
+        # the surrogate error needs the C = agg X X^T statistic; catch
+        # the default init_state(track_xxt=False) here instead of a
+        # jnp.trace(None) TypeError deep inside the shard_map trace
+        raise ValueError(
+            "dp_ising_learning needs state.C (the X X^T aggregate) for "
+            "the surrogate error — build the state with "
+            "init_state(..., track_xxt=True)")
     run = _dp_ising_fn(
         mesh, int(ising_iterations), int(nsteps),
         int(num_patches_per_device), int(inner_iterations),

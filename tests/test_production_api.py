@@ -170,3 +170,36 @@ def test_network_checkpoint_resume_after_interrupt(tmp_path):
     # once-per-run first-iteration discard) matches the uninterrupted run
     np.testing.assert_allclose(np.asarray(a.code), np.asarray(c.code),
                                rtol=1e-12)
+
+
+def test_network_execution_chunking_no_path_exact():
+    # checkpoint_every WITHOUT a path = pure execution chunking (bounds
+    # the single-device-program runtime at scale); must equal the fused
+    # run exactly, with no file I/O
+    from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor
+    from onmf_ontf_ndl_tpu.data.graphs import graph_from_adjacency
+
+    m = 6
+    A = np.zeros((m * m, m * m), bool)
+    for i in range(m):
+        for j in range(m):
+            u = i * m + j
+            for (di, dj) in [(1, 0), (0, 1)]:
+                v = ((i + di) % m) * m + (j + dj) % m
+                A[u, v] = A[v, u] = True
+    kw = dict(source=graph_from_adjacency(A), n_components=6,
+              MCMC_iterations=5, sub_iterations=3, sample_size=30,
+              batch_size=10, k1=0, k2=1, dtype=jnp.float64, seed=7)
+    a = NetworkReconstructor(**kw)
+    Wa = a.train_dict()
+
+    b = NetworkReconstructor(**kw)
+    Wb = b.train_dict(checkpoint_every=2)   # 2 + 2 + 1 iterations
+    np.testing.assert_array_equal(np.asarray(Wa), np.asarray(Wb))
+    np.testing.assert_allclose(np.asarray(a.code), np.asarray(b.code),
+                               rtol=1e-12)
+    # second call accumulates code like the fused branch does
+    a.train_dict()
+    b.train_dict(checkpoint_every=2)
+    np.testing.assert_allclose(np.asarray(a.code), np.asarray(b.code),
+                               rtol=1e-12)
