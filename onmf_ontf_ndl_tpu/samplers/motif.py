@@ -268,8 +268,24 @@ def pair_matrices_T(g, embs: jax.Array, *,
             # pays max_deg elements per row for every row (28 GB
             # nominal at a 1M-node BA graph's D~2000, M=1.2M — it
             # would not even buffer-assign); binary search pays
-            # ~log2(max_deg) elements per PAIR instead
-            return _pair_membership_bsearch(g, row, col).astype(jnp.float32)
+            # ~log2(max_deg) elements per PAIR instead. Membership is
+            # symmetric (the CSR stores both directions) and the
+            # builders drop self-loops (native/graph_loader.cpp:278,
+            # _intern_edges), so only the k(k-1)/2 unordered pairs are
+            # searched — diagonal entries are A[v, v] = 0 by the
+            # simple-graph contract and (q, r) mirrors (r, q). At the
+            # k=3 path motif this cuts the dominant reconstruction
+            # gather count 3x.
+            iu, ju = np.triu_indices(k, 1)            # static, P pairs
+            P = len(iu)
+            mem = _pair_membership_bsearch(
+                g, eT[jnp.asarray(iu)], eT[jnp.asarray(ju)])   # (P, M)
+            pairidx = np.full((k, k), P, np.int32)    # P = the zeros row
+            pairidx[iu, ju] = np.arange(P)
+            pairidx[ju, iu] = np.arange(P)
+            stacked = jnp.concatenate(
+                [mem.astype(jnp.float32), jnp.zeros((1, M), jnp.float32)])
+            return stacked[jnp.asarray(pairidx.reshape(-1))]  # (k*k, M)
         # CSR-triple fallback (no padded table): membership by
         # candidate-row compare, rows gathered once per motif NODE —
         # (D, k, M), k rows — and every ordered pair (q, r) tests
@@ -416,7 +432,55 @@ def glauber_update(key: jax.Array, B: np.ndarray, parents: tuple[int, ...],
         isinstance(g, CsrGraph)
         or (isinstance(g, BitsetGraph)
             and 0 < g.max_deg * _CANDIDATE_DEG_FACTOR <= g.words_per_row))
-    if use_candidates:
+    if (valid.shape[0] > 0 and isinstance(g, CsrGraph)
+            and g.max_deg > _BSEARCH_DEG_THRESHOLD):
+        # sorted-multiplicity intersection for the hub-row regime.
+        # Gathers cost per ELEMENT on TPU, so the per-candidate binary
+        # search below (log2(max_deg) * max_deg gathered elements per
+        # constraint per chain step) is the measured training wall on
+        # power-law graphs — hub rows are not rare visits there, the
+        # chain's stationary law WEIGHTS nodes by homomorphism count.
+        # Instead gather every constraint row once (slots * max_deg
+        # elements), sentinel-fill the dead slots, and sort the values:
+        # a node is a common neighbor of all m valid constraint images
+        # exactly when its value run has length m (each row lists a
+        # value at most once, inactive rows contribute only distinct
+        # sentinels, so run length counts constraint membership). The
+        # sort is ascending, so rank-selecting the target-th run start
+        # picks the same VALUE as the candidate-list cumsum below —
+        # identical draws (tested hub-vs-dense), ~14x fewer gathered
+        # elements (measured 4.2M-node BA train: 93 s -> the sort cost).
+        n = g.num_nodes
+        S = valid.shape[0]
+        D = max(int(g.max_deg), 1)
+        rows, oks = _csr_row_slots(g, imgs)           # (S, D)
+        live = valid[:, None] & oks
+        sent = jnp.int32(n) + jnp.arange(S * D, dtype=jnp.int32)
+        v = jnp.where(live.reshape(-1), rows.reshape(-1), sent)
+        sv = jnp.sort(v)                              # (S*D,) ascending
+        m = jnp.sum(valid.astype(jnp.int32))          # required run length
+        runstart = jnp.concatenate(
+            [jnp.ones((1,), bool), sv[1:] != sv[:-1]])
+        # ge after round r holds "run length >= r+1" at run starts;
+        # multiplicity cannot exceed m, so "length >= m" is "length == m"
+        tail = jnp.int32(n) + jnp.int32(S * D)        # > every sentinel
+        ge = runstart
+        member = ge
+        for r in range(1, S):
+            shifted = jnp.concatenate(
+                [sv[r:], jnp.full((r,), tail, sv.dtype)])
+            ge = ge & (shifted == sv)
+            member = jnp.where(m >= r + 1, ge, member)
+        member = member & (sv < n) & (m > 0)
+        c = jnp.cumsum(member.astype(jnp.int32))
+        total = c[-1]
+        ku, kf = jax.random.split(ks)
+        u = jax.random.uniform(ku, ())
+        target = jnp.minimum((u * total).astype(jnp.int32) + 1,
+                             jnp.maximum(total, 1))
+        y = sv[jnp.argmax(c >= target)]
+        y = jnp.where(total > 0, y, jax.random.randint(kf, (), 0, n))
+    elif use_candidates:
         # candidate-list intersection for LOW-DEGREE graphs: the common
         # neighbors of the constraint images are a subset of the FIRST
         # valid constraint's neighbor list, so enumerate its <= max_deg
@@ -439,14 +503,6 @@ def glauber_update(key: jax.Array, B: np.ndarray, parents: tuple[int, ...],
                 word = g.bits.at[imgs[t], cand // 32].get(mode="clip")
                 member = ((word >> cand.astype(jnp.uint32) % 32)
                           & jnp.uint32(1)) > 0
-            elif g.max_deg > _BSEARCH_DEG_THRESHOLD:
-                # hub-row regime: D^2 broadcast compares per constraint
-                # would be ~4M ops per chain step at a BA graph's
-                # D~2000; binary search is D * log2(D) gathered
-                # elements. Same membership mask -> same rank-select
-                # draw (identical chains, tested).
-                member = _pair_membership_bsearch(
-                    g, jnp.broadcast_to(imgs[t], cand.shape), cand)
             else:
                 rowt, okt = _csr_row_slots(g, imgs[t])    # (D,)
                 member = jnp.any(

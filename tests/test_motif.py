@@ -652,3 +652,54 @@ def test_bsearch_membership_fuzz_random_graphs():
                                           np.asarray(chain(gc)))
     finally:
         motif._BSEARCH_DEG_THRESHOLD = old
+
+
+def test_sorted_multiplicity_glauber_star_motif_matches_dense():
+    """The hub-regime Glauber intersection counts equal-value runs to
+    find common neighbors (samplers/motif.py sorted-multiplicity path);
+    a STAR motif makes the resampled center carry 3+ constraints, and
+    repeated constraint images make duplicate rows — both must still
+    draw identically to the dense mask path. (The path-motif fuzz above
+    only ever exercises 2 constraints.)"""
+    import dataclasses
+
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+    from onmf_ontf_ndl_tpu.samplers import motif
+
+    # K4 star: center 0, leaves 1..3 (center degree 3 in the motif)
+    B = np.zeros((4, 4), np.int8)
+    B[0, 1] = B[0, 2] = B[0, 3] = 1
+    parents = tree_parents(B)
+
+    rng = np.random.default_rng(5)
+    n = 700
+    e = rng.integers(0, n, (5000, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    e = np.concatenate([e, np.stack(
+        [np.zeros(500, np.int64), rng.integers(1, n, 500)], axis=1)])
+    gd = graph_from_edgelist(e)
+    gc = dataclasses.replace(csr_graph_from_edges(e), nbr_pad_T=None)
+    assert gd.num_nodes == gc.num_nodes
+
+    old = motif._BSEARCH_DEG_THRESHOLD
+    try:
+        motif._BSEARCH_DEG_THRESHOLD = 1   # force the sorted path
+
+        def chain(g, e0):
+            def step(emb, k):
+                emb = glauber_update(k, B, parents, g, emb)
+                return emb, emb
+            _, out = jax.lax.scan(
+                step, e0, jax.random.split(jax.random.key(3), 500))
+            return out
+
+        e0 = tree_sample(jax.random.key(2), parents, gd, jnp.int32(0))
+        np.testing.assert_array_equal(np.asarray(chain(gd, e0)),
+                                      np.asarray(chain(gc, e0)))
+
+        # duplicate constraint images: two leaves on the same node
+        e0d = jnp.asarray([0, 5, 5, 9], jnp.int32)
+        np.testing.assert_array_equal(np.asarray(chain(gd, e0d)),
+                                      np.asarray(chain(gc, e0d)))
+    finally:
+        motif._BSEARCH_DEG_THRESHOLD = old
