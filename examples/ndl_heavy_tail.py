@@ -10,8 +10,9 @@ framework adds:
    (`native/graph_loader.cpp`; sub-second at a million nodes) with an
    optional built-CSR npz cache;
 2. Glauber-chain dictionary learning — hub rows route through the
-   binary-search CSR membership kernels (`samplers/motif.py`), the
-   degree-distribution-independent path;
+   sorted-multiplicity intersection kernel (`samplers/motif.py`: one
+   sort of the constraint rows instead of per-candidate binary
+   search; the pair fetch keeps the binary-search membership path);
 3. Pivot-chain reconstruction, the reference's own recommended
    real-network configuration ("keep false to use Pivot chain for
    recons.", `network_reconstruction_nx.py:573-574`), over a wide
