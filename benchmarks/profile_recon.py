@@ -10,6 +10,7 @@ Phase costs are successive differences. Run manually:
 
     python benchmarks/profile_recon.py --side 360 [--csr] [--chains N]
     python benchmarks/profile_recon.py --side 512 --csr --whole
+    python benchmarks/profile_recon.py --ba 4194304 --pivot  # heavy tail
 """
 
 import argparse
@@ -36,6 +37,12 @@ def steady(fn):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--side", type=int, default=360)
+    ap.add_argument("--ba", type=int, default=None, metavar="N",
+                    help="profile an N-node Barabási–Albert m=2 graph "
+                         "(CsrGraph, heavy-tailed) instead of a torus")
+    ap.add_argument("--pivot", action="store_true",
+                    help="profile the Pivot chain (the reference's "
+                         "real-network recon default) instead of Glauber")
     ap.add_argument("--csr", action="store_true")
     ap.add_argument("--chains", type=int, default=None)
     ap.add_argument("--samples", type=int, default=None)
@@ -44,28 +51,39 @@ def main():
                          "instead of the per-phase breakdown")
     args = ap.parse_args()
 
-    from scale_extras import torus_edges
+    from scale_extras import ba_edges, torus_edges
     from onmf_ontf_ndl_tpu.data.graphs import (
         bitset_graph_from_edges, csr_graph_from_edges)
     from onmf_ontf_ndl_tpu.samplers.motif import (
-        path_adj, tree_parents, glauber_update, tree_sample,
+        path_adj, tree_parents, glauber_update, pivot_update, tree_sample,
         pair_matrices_T)
     from onmf_ontf_ndl_tpu.apps.network import _group_painted
     from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
 
-    side = args.side
-    scale = (side / 180.0) ** 2
-    cap = 19_200_000 if args.csr else 4_800_000
-    samples = args.samples or min(int(1_200_000 * scale), cap)
-    chains = args.chains or (4096 if side <= 180 else (
-        8192 if side <= 360 else (16384 if side <= 512 else 32768)))
+    if args.ba:
+        n_nom = args.ba
+        scale = n_nom / 1_048_576
+        cap = 19_200_000
+        samples = args.samples or min(int(5 * n_nom), cap)
+        chains = args.chains or 16384
+    else:
+        side = args.side
+        scale = (side / 180.0) ** 2
+        cap = 19_200_000 if args.csr else 4_800_000
+        samples = args.samples or min(int(1_200_000 * scale), cap)
+        chains = args.chains or (4096 if side <= 180 else (
+            8192 if side <= 360 else (16384 if side <= 512 else 32768)))
 
     fence(jnp.ones(8))
     t0 = time.time()
-    build = csr_graph_from_edges if args.csr else bitset_graph_from_edges
-    g = build(torus_edges(side))
-    print(f"load {time.time()-t0:.1f}s  n={g.num_nodes} chains={chains} "
-          f"samples={samples}", file=sys.stderr)
+    if args.ba:
+        g = csr_graph_from_edges(ba_edges(n_nom))
+    else:
+        build = csr_graph_from_edges if args.csr else bitset_graph_from_edges
+        g = build(torus_edges(side))
+    print(f"load {time.time()-t0:.1f}s  n={g.num_nodes} "
+          f"max_deg={g.max_deg} chains={chains} samples={samples} "
+          f"chain={'pivot' if args.pivot else 'glauber'}", file=sys.stderr)
 
     B = path_adj(0, 2)
     parents = tree_parents(B)
@@ -88,7 +106,8 @@ def main():
             reconstruct_network_sparse, W, g, jax.random.key(0),
             B.astype(np.int8).tobytes(), parents,
             recons_iter=samples, alpha=0.0, sub_iter=30,
-            use_glauber=True, num_chains=chains, include_self=False)
+            use_glauber=not args.pivot, num_chains=chains,
+            include_self=False)
         t_whole, _ = steady(lambda: (lambda r: (fence(r[2]), r)[1])(run()))
         print(f"whole sparse recon {t_whole:7.2f}s", file=sys.stderr)
         return
@@ -99,7 +118,10 @@ def main():
             jax.random.split(tk, chains), pivots)
 
         def step(emb, kk):
-            emb = glauber_update(kk, B, parents, g, emb)
+            if args.pivot:
+                emb = pivot_update(kk, B, parents, g, emb)
+            else:
+                emb = glauber_update(kk, B, parents, g, emb)
             return emb, emb
 
         def run_chain(kk, e0):

@@ -164,6 +164,70 @@ def _pair_membership_bsearch(g, row: jax.Array, col: jax.Array) -> jax.Array:
     return (lo < deg) & (v == col)
 
 
+def _pair_membership_sortjoin(g, row: jax.Array, col: jax.Array) -> jax.Array:
+    """Edge indicators for ordered index pairs on a CSR-backed graph by
+    a SORT-JOIN against the edge list: same contract as
+    :func:`_pair_membership_bsearch` (equal-shaped int32 ``row``/``col``
+    in, bool out), chosen for LARGE query batches.
+
+    Rationale (docs/DESIGN.md §5 "one sort beats many gathers"): the
+    binary search gathers ``log2(max_deg) + 3`` elements per query at
+    ~18-20 ns per gathered element; a two-key ``lax.sort`` costs ~6 ns
+    per element·operand. The CSR (src, dst) edge list is ALREADY sorted
+    (rows ascending, ascending within each row — the builders' lexsort
+    contract), so membership for Q queries is: stable-sort the
+    ``Q + 2E`` concatenated (i, j) pairs (edges first, so within an
+    equal-key run the edge precedes every query), mark a query a member
+    iff the latest edge at-or-before it lies in its own run (two
+    ``cummax`` passes — no gathers at all), and restore query order
+    with one payload sort. Total ~5 element·operand sort passes over
+    ``Q + 2E`` versus ``Q * (log2(max_deg) + 3)`` gathered elements —
+    the win at reconstruction batch sizes on hub graphs (measured: the
+    4.2M-node BA recon's membership phase).
+    """
+    shape = row.shape
+    qi = row.reshape(-1).astype(jnp.int32)
+    qj = col.reshape(-1).astype(jnp.int32)
+    q = qi.shape[0]
+    twoE = g.nbr_flat.shape[0]
+    # edge sources from the CSR row starts: +1 at each row boundary,
+    # cumsum. Empty rows stack their boundary bumps; trailing empties
+    # index at twoE and drop.
+    bump = jnp.zeros((twoE,), jnp.int32).at[g.offsets[1:]].add(
+        1, mode="drop")
+    src = jnp.cumsum(bump)
+    ki = jnp.concatenate([src, qi])
+    kj = jnp.concatenate([g.nbr_flat.astype(jnp.int32), qj])
+    payload = jnp.concatenate([jnp.full((twoE,), -1, jnp.int32),
+                               jnp.arange(q, dtype=jnp.int32)])
+    ki, kj, payload = lax.sort((ki, kj, payload), num_keys=2,
+                               is_stable=True)
+    is_edge = payload < 0
+    iota = jnp.arange(twoE + q, dtype=jnp.int32)
+    runstart = jnp.concatenate(
+        [jnp.ones((1,), bool), (ki[1:] != ki[:-1]) | (kj[1:] != kj[:-1])])
+    last_edge = lax.cummax(jnp.where(is_edge, iota, -1))
+    run_start_idx = lax.cummax(jnp.where(runstart, iota, -1))
+    member = (last_edge >= run_start_idx) & ~is_edge
+    payload, member = lax.sort((payload, member.astype(jnp.int32)),
+                               num_keys=1, is_stable=True)
+    return member[twoE:].astype(bool).reshape(shape)
+
+
+def _pair_membership(g, row: jax.Array, col: jax.Array) -> jax.Array:
+    """Membership kernel dispatch for CSR graphs: binary search for
+    small query batches, sort-join once the gathered-element bill
+    exceeds the sort bill (cost model in the kernel docstrings; the
+    ~3x gather-vs-sort per-element price folds into the constant)."""
+    q = int(np.prod(row.shape))
+    twoE = g.nbr_flat.shape[0]
+    bsearch_elems = q * (max(int(g.max_deg).bit_length(), 1) + 3)
+    sortjoin_equiv = (q + twoE) * 2
+    if bsearch_elems > sortjoin_equiv:
+        return _pair_membership_sortjoin(g, row, col)
+    return _pair_membership_bsearch(g, row, col)
+
+
 def _bitset_rows(g, idx: jax.Array) -> jax.Array:
     """(len(idx), W32) packed adjacency rows: a whole-row gather from
     the canonical 2-D bitset. Measured ~16x faster than vmapped
@@ -278,7 +342,7 @@ def pair_matrices_T(g, embs: jax.Array, *,
             # gather count 3x.
             iu, ju = np.triu_indices(k, 1)            # static, P pairs
             P = len(iu)
-            mem = _pair_membership_bsearch(
+            mem = _pair_membership(
                 g, eT[jnp.asarray(iu)], eT[jnp.asarray(ju)])   # (P, M)
             pairidx = np.full((k, k), P, np.int32)    # P = the zeros row
             pairidx[iu, ju] = np.arange(P)

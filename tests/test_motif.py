@@ -703,3 +703,65 @@ def test_sorted_multiplicity_glauber_star_motif_matches_dense():
                                       np.asarray(chain(gc, e0d)))
     finally:
         motif._BSEARCH_DEG_THRESHOLD = old
+
+
+def test_sortjoin_membership_matches_dense_and_bsearch():
+    """The sort-join membership kernel (large-batch path of the hub
+    regime) must agree exactly with the dense oracle and the binary
+    search on every query — hub rows, self pairs, duplicate queries,
+    isolated/trailing empty rows included."""
+    import dataclasses
+
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+    from onmf_ontf_ndl_tpu.samplers.motif import (
+        _pair_membership_bsearch, _pair_membership_sortjoin)
+
+    rng = np.random.default_rng(21)
+    for n, e_count in ((51, 60), (257, 4000), (400, 900)):
+        e = rng.integers(0, n, (e_count, 2))
+        e = e[e[:, 0] != e[:, 1]]
+        e = np.concatenate([e, [[0, 1]]])
+        gd = graph_from_edgelist(e)
+        gc = dataclasses.replace(csr_graph_from_edges(e), nbr_pad_T=None)
+        m = min(gc.num_nodes, gd.num_nodes)
+        row = rng.integers(0, m, 2000)
+        col = rng.integers(0, m, 2000)
+        # self pairs + duplicate queries in the batch
+        row[:50] = col[:50]
+        row[50:100] = row[0]
+        col[50:100] = col[0]
+        rj = jnp.asarray(row, jnp.int32)
+        cj = jnp.asarray(col, jnp.int32)
+        got = np.asarray(_pair_membership_sortjoin(gc, rj, cj))
+        want = np.asarray(gd.adj)[row, col]
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(
+            got, np.asarray(_pair_membership_bsearch(gc, rj, cj)))
+        # 2-D query shape (the (P, M) reconstruction layout)
+        r2, c2 = rj.reshape(4, -1), cj.reshape(4, -1)
+        np.testing.assert_array_equal(
+            np.asarray(_pair_membership_sortjoin(gc, r2, c2)),
+            got.reshape(4, -1))
+
+
+def test_membership_dispatch_cost_model():
+    """_pair_membership routes small batches to binary search and
+    edge-list-dominating batches to the sort-join (both sides already
+    value-tested; this pins the dispatch itself)."""
+    from unittest import mock
+
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+    from onmf_ontf_ndl_tpu.samplers import motif
+
+    e = np.asarray([(i, (i + 1) % 64) for i in range(64)])
+    g = csr_graph_from_edges(e)   # 2E = 128, max_deg 2
+    small = jnp.zeros((4,), jnp.int32)
+    large = jnp.zeros((1024,), jnp.int32)
+    with mock.patch.object(motif, "_pair_membership_sortjoin",
+                           wraps=motif._pair_membership_sortjoin) as sj, \
+         mock.patch.object(motif, "_pair_membership_bsearch",
+                           wraps=motif._pair_membership_bsearch) as bs:
+        motif._pair_membership(g, small, small)
+        assert bs.call_count == 1 and sj.call_count == 0
+        motif._pair_membership(g, large, large)
+        assert sj.call_count == 1
