@@ -87,8 +87,9 @@ def big_ba_ndl(n=1_048_576, m=2, recons_iter=4_800_000, num_chains=16384,
     chain and reconstruction the Pivot chain — the reference's own
     recommended configuration for real networks ("keep false to use
     Pivot chain for recons.", network_reconstruction_nx.py:573-574);
-    the Glauber candidate kernel and the pair fetch route through the
-    binary-search membership paths (samplers/motif.py) that hub rows
+    the Glauber move routes through the sorted-multiplicity
+    intersection and the reconstruction pair fetch through the
+    sort-join membership kernel (samplers/motif.py) that hub rows
     require."""
     from run_all import fence, steady
     from onmf_ontf_ndl_tpu.apps.network import NetworkReconstructor

@@ -12,7 +12,8 @@ framework adds:
 2. Glauber-chain dictionary learning — hub rows route through the
    sorted-multiplicity intersection kernel (`samplers/motif.py`: one
    sort of the constraint rows instead of per-candidate binary
-   search; the pair fetch keeps the binary-search membership path);
+   search; reconstruction-sized pair fetches take the sort-join
+   membership kernel, small ones the binary search);
 3. Pivot-chain reconstruction, the reference's own recommended
    real-network configuration ("keep false to use Pivot chain for
    recons.", `network_reconstruction_nx.py:573-574`), over a wide

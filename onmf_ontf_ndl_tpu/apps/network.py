@@ -375,10 +375,11 @@ def _bitonic_merge(si, sj, sv, sc):
     return (si.reshape(n), sj.reshape(n), sv.reshape(n), sc.reshape(n))
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-def _fold_grouped(ai, aj, asum, acnt, ci, cj, csum, ccnt):
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("out_len",))
+def _fold_grouped(ai, aj, asum, acnt, ci, cj, csum, ccnt, *, out_len=None):
     """Fold a chunk's grouped (sum, count) segments into the
-    fixed-capacity accumulator — the on-device analogue of
+    accumulator — the on-device analogue of
     ``parallel.dp.merge_recon_shards`` (exact: the global mean of a
     pair is summed sums over summed counts).
 
@@ -387,10 +388,13 @@ def _fold_grouped(ai, aj, asum, acnt, ci, cj, csum, ccnt):
     [accumulator asc | pad | chunk REVERSED] is bitonic and one
     log2(n)-stage merge network replaces a full log^2(n) sort —
     padding slots (cnt == 0) ride as int32-max keys. Returns the
-    merged arrays, real segments in a prefix, truncated back to the
-    accumulator's capacity — the caller checks the merged real-segment
-    count against the capacity."""
+    merged arrays, real segments in a prefix, truncated to ``out_len``
+    slots (default: the accumulator's length) — the returned
+    real-segment count is computed BEFORE truncation, so the caller
+    can detect overflow exactly."""
     cap = ai.shape[0]
+    if out_len is None:
+        out_len = cap
     L = ci.shape[0]
     big = jnp.int32(2**31 - 1)
     total = cap + L
@@ -433,8 +437,8 @@ def _fold_grouped(ai, aj, asum, acnt, ci, cj, csum, ccnt):
     cnt = jnp.where(killed, 0, cnt)
     out_i, out_j, sums, cnt = lax.sort((si, sj, sums, cnt), num_keys=2)
     n_real = jnp.sum(cnt > 0)
-    return (out_i[:cap], out_j[:cap], sums[:cap], cnt[:cap],
-            n_real.astype(jnp.int32))
+    return (out_i[:out_len], out_j[:out_len], sums[:out_len],
+            cnt[:out_len], n_real.astype(jnp.int32))
 
 
 def reconstruct_network_sparse_chunked(
@@ -473,20 +477,29 @@ def reconstruct_network_sparse_chunked(
 
     Raises if the distinct-pair count outgrows ``cap`` (raise ``cap``
     or use more/fewer chunks; the check is exact, not a truncation).
-    Returns ``(ii, jj, mean, cnt)`` of length ``cap``, real segments in
-    a prefix — the same contract as :func:`reconstruct_network_sparse`
-    with ``include_self=False``."""
+    Returns ``(ii, jj, mean, cnt)`` of length ``<= cap`` (the smallest
+    power-of-two bucket holding the distinct pairs), real segments in
+    a prefix — otherwise the same contract as
+    :func:`reconstruct_network_sparse` with ``include_self=False``."""
     k = len(parents) + 1
     per_chunk = -(-recons_iter // chunks)
     # the pipeline rounds each chunk's budget UP to a multiple of
     # num_chains (every chain contributes whole steps), so size the
-    # default accumulator from the ROUNDED paint count — the nominal
+    # default overflow bound from the ROUNDED paint count — the nominal
     # one under-sizes it for wide ensembles (review finding)
     m_chunk = -(-per_chunk // max(num_chains, 1)) * max(num_chains, 1)
     if cap is None:
         cap = 2 * m_chunk * k * max(k - 1, 1)
-    acc = (jnp.zeros((cap,), jnp.int32), jnp.zeros((cap,), jnp.int32),
-           jnp.zeros((cap,), W.dtype), jnp.zeros((cap,), W.dtype))
+    # The accumulator GROWS by power-of-two buckets from the measured
+    # real-segment count instead of allocating ``cap`` slots up front:
+    # the fold's merge width is accumulator + chunk reals, and distinct
+    # painted pairs are typically far fewer than total paints (hub
+    # pairs repeat heavily), so fixed-cap folds paid 2-4x the width for
+    # padding. ``cap`` stays the exact overflow bound; bucketing keeps
+    # the number of distinct fold shapes (= recompiles) logarithmic.
+    A = min(1 << 10, cap)
+    acc = (jnp.zeros((A,), jnp.int32), jnp.zeros((A,), jnp.int32),
+           jnp.zeros((A,), W.dtype), jnp.zeros((A,), W.dtype))
     for c in range(chunks):
         ck = jax.random.fold_in(key, c)
         chunk = _grouped_chunk_sums(
@@ -502,12 +515,21 @@ def reconstruct_network_sparse_chunked(
         S = min(chunk[0].shape[0],
                 1 << max(10, (max(n_seg_c, 1) - 1).bit_length()))
         chunk = tuple(x[:S] for x in chunk)
-        *acc, n_real = _fold_grouped(*acc, *chunk)
+        # merged reals <= A + S, so an out_len covering A + S (capped
+        # at the overflow bound) never truncates a real segment unless
+        # the run overflows cap — which raises below, exactly
+        out_len = min(1 << max(10, (A + S - 1).bit_length()), cap)
+        *acc, n_real = _fold_grouped(*acc, *chunk, out_len=out_len)
         if int(n_real) > cap:
             raise ValueError(
                 f"chunked reconstruction overflowed the {cap}-slot "
                 f"accumulator at chunk {c + 1}/{chunks} "
                 f"({int(n_real)} distinct pairs); raise cap")
+        # shrink back to the real-segment bucket for the next fold
+        A = min(out_len,
+                1 << max(10, (max(int(n_real), 1) - 1).bit_length()))
+        if A < out_len:
+            acc = tuple(x[:A] for x in acc)
     ii, jj, sums, cnt = acc
     mean = sums / jnp.maximum(cnt, 1.0)
     return ii, jj, mean, cnt

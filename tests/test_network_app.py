@@ -618,6 +618,17 @@ def test_bitonic_merge_fold_property():
         kk = fi[:nz].astype(np.int64) * 10**6 + fj[:nz]
         assert (np.diff(kk) > 0).all()
 
+        # out_len widening (the adaptive-accumulator growth step):
+        # identical reals, pre-truncation n_real, padded tail
+        a2 = sorted_grouped(cap, min(cap, 30))
+        c2 = sorted_grouped(L, min(L, 70))
+        wide = 1 << (cap + L - 1).bit_length()
+        gi, gj, gs, gc, n2 = _fold_grouped(*a2, *c2, out_len=wide)
+        assert gi.shape[0] == wide
+        gc = np.asarray(gc)
+        nz2 = int((gc > 0).sum())
+        assert nz2 == int(n2) and (gc[nz2:] == 0).all()
+
 
 def test_edge_fetch_mask_path_matches_pair_path(monkeypatch):
     """>65,536-node edge decode via the CSR-slot bitmask (host-CSR
