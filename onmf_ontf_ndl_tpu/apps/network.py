@@ -541,9 +541,10 @@ def _group_painted(embs, vals_T, n, include_self=True):
     ``embs`` (M, k) int32, ``vals_T`` (k*k, M). Returns
     ``(ii, jj, sums, cnt)``, each of length ``M*k*k``: per distinct
     painted pair, the SUM of painted values and the number of paints;
-    slots with ``cnt == 0`` are padding (their ``ii``/``jj`` carry the
-    segment_max identity — (0, 0) on the fused-key path, int32 min on
-    the two-key path). Sums+counts — not means — so shards of
+    slots with ``cnt == 0`` are padding (their ``ii``/``jj`` carry
+    (0, 0) on the fused-key path — the segment_max identity — and
+    int32 max on the two-key path). Sums+counts — not means — so shards
+    of
     a chain ensemble can be merged exactly downstream (the global mean
     is ``sum(sums)/sum(cnt)`` over shards; a mean cannot be re-weighted
     without the counts).
@@ -596,30 +597,52 @@ def _group_painted(embs, vals_T, n, include_self=True):
                  + jj.astype(jnp.uint32))
         skey, sv = lax.sort((key32, vv), num_keys=1)
         diff = skey[1:] != skey[:-1]
-    else:
-        si, sj, sv = lax.sort((ii, jj, vv), num_keys=2)
-        diff = (si[1:] != si[:-1]) | (sj[1:] != sj[:-1])
-    new_seg = jnp.concatenate([
-        jnp.ones((1,), jnp.int32),
-        diff.astype(jnp.int32),
-    ])
-    seg = jnp.cumsum(new_seg) - 1                     # (total,) segment ids
-    sums = jax.ops.segment_sum(sv, seg, num_segments=total,
-                               indices_are_sorted=True)
-    cnt = jax.ops.segment_sum(jnp.ones_like(sv), seg, num_segments=total,
-                              indices_are_sorted=True)
-    if fused:
+        new_seg = jnp.concatenate([
+            jnp.ones((1,), jnp.int32),
+            diff.astype(jnp.int32),
+        ])
+        seg = jnp.cumsum(new_seg) - 1                 # (total,) segment ids
+        sums = jax.ops.segment_sum(sv, seg, num_segments=total,
+                                   indices_are_sorted=True)
+        cnt = jax.ops.segment_sum(jnp.ones_like(sv), seg,
+                                  num_segments=total,
+                                  indices_are_sorted=True)
         # one segment_max on the fused key, then divmod — padding slots
         # take the uint32 identity 0 (pair (0, 0)) and carry cnt == 0
         kmax = jax.ops.segment_max(skey, seg, num_segments=total,
                                    indices_are_sorted=True)
         out_i = (kmax // jnp.uint32(n)).astype(jnp.int32)
         out_j = (kmax % jnp.uint32(n)).astype(jnp.int32)
-    else:
-        out_i = jax.ops.segment_max(si, seg, num_segments=total,
-                                    indices_are_sorted=True)
-        out_j = jax.ops.segment_max(sj, seg, num_segments=total,
-                                    indices_are_sorted=True)
+        return out_i, out_j, sums, cnt
+    si, sj, sv = lax.sort((ii, jj, vv), num_keys=2)
+    diff = (si[1:] != si[:-1]) | (sj[1:] != sj[:-1])
+    new_seg = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        diff.astype(jnp.int32),
+    ])
+    seg = jnp.cumsum(new_seg) - 1                     # (total,) segment ids
+    # segment_sum keeps the paint sums EXACT (sorted left-to-right adds,
+    # ~1.2 s/128M scatter) — a cumsum-difference would cancel
+    # catastrophically in f32 at these widths. The other three segment
+    # ops (cnt and the two key maxes) carry no accumulation, so one
+    # compaction sort replaces all three: mark segment ENDS, sink
+    # non-ends to the tail with int32-max keys (node ids < n << 2^31),
+    # and read counts off adjacent end-position differences. Segment t's
+    # end lands at compacted slot t (both orders are ascending (i, j)),
+    # aligning with segment_sum's slot-t output for free. Three scatters
+    # -> one 3-operand sort: ~2.4x fewer pass-seconds at the 115M-slot
+    # chunk widths of the 9.4M-node records (docs/DESIGN.md §5).
+    big = jnp.int32(2**31 - 1)
+    is_end = jnp.concatenate([diff, jnp.ones((1,), bool)])
+    sums = jax.ops.segment_sum(sv, seg, num_segments=total,
+                               indices_are_sorted=True)
+    idx = lax.iota(jnp.int32, total)
+    ei = jnp.where(is_end, si, big)
+    ej = jnp.where(is_end, sj, big)
+    out_i, out_j, eidx = lax.sort((ei, ej, idx), num_keys=2)
+    real = out_i != big
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), eidx[:-1]])
+    cnt = jnp.where(real, eidx - prev, 0).astype(sv.dtype)
     return out_i, out_j, sums, cnt
 
 
