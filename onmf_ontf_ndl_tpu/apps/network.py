@@ -40,7 +40,7 @@ from onmf_ontf_ndl_tpu.models.state import OnmfState, init_state
 from onmf_ontf_ndl_tpu.ops.coder import nonneg_code
 from onmf_ontf_ndl_tpu.samplers.motif import (
     pair_matrices_T,
-    _csr_row_slots,
+    _pair_membership,
     _sample_patches,
     _sample_patches_ensemble_impl,
     glauber_update,
@@ -663,9 +663,16 @@ def _pack_recon_edges(ii, jj, mean, cnt, n):
 
 
 # explicit-pair fetch bytes above which the CSR-slot bitmask fetch
-# wins (see _edges_from_sparse_result; measured crossover between the
-# 4.2M- and 9.4M-node torus reconstructions)
-_MASK_FETCH_BYTES = 150 << 20
+# wins (see _edges_from_sparse_result). With the membership-slot
+# lookup the mask path's device cost is a few sort passes over
+# kept + 2E, so the crossover is set by the host-link rate: measured
+# at the 4.2M-node BA (141 MB, 17.6M kept pairs) mask 5.2 s vs pair
+# 8.3 s on a fast-tunnel session and pair 16.9 s on a slow one — the
+# threshold sits where the pair fetch's byte bill alone exceeds the
+# mask path's fixed few seconds even at fast-session rates (and on
+# slow sessions the mask wins by far more — the tunnel rate varies
+# ~3x across sessions, the mask bytes are ~100x smaller).
+_MASK_FETCH_BYTES = 24 << 20
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
@@ -677,20 +684,28 @@ def _kept_edge_bits(ii, jj, mean, cnt, g, size):
     extras that are NOT graph edges (compacted to a ``size`` prefix).
     Both orientations of a kept true edge set the SAME canonical slot
     (lo's row position of hi), so the mask is orientation-deduped for
-    free; extras dedup on the host."""
+    free; extras dedup on the host.
+
+    Edge lookup rides the ``_pair_membership`` slot kernels (binary
+    search or sort-join by the query-count cost model) — degree-
+    distribution-independent, so the mask path serves hub graphs too
+    (the earlier (size, max_deg) whole-row gather put a 13k-wide hub
+    factor on every kept pair of a 4.2M-node BA graph and had to be
+    byte-gated off)."""
     keep = (cnt > 0) & (jnp.round(mean) > 0)
-    # compact kept pairs first so the (D,)-wide row gathers below run
+    # compact kept pairs first so the membership queries below run
     # over the kept count, not the full slot-capacity arrays
     idx = jnp.nonzero(keep, size=size, fill_value=0)[0]
     valid = (jnp.arange(size) < jnp.sum(keep))
     ki, kj = ii[idx], jj[idx]
     lo = jnp.minimum(ki, kj)
     hi = jnp.maximum(ki, kj)
-    slots, ok = _csr_row_slots(g, lo)                  # (size, D)
-    eq = (slots == hi[:, None]) & ok
-    is_edge = jnp.any(eq, axis=1) & (lo != hi) & valid
-    slot = g.offsets[lo] + jnp.argmax(eq, axis=1).astype(jnp.int32)
+    member, slot = _pair_membership(g, lo, hi, with_slots=True)
+    is_edge = member & (lo != hi) & valid
     e2 = g.nbr_flat.shape[0]
+    # non-members may carry a clamped/stale slot — send them OOB so the
+    # scatter drops them
+    slot = jnp.where(is_edge, slot, e2)
     words = -(-e2 // 32)
     bools = jnp.zeros((words * 32,), bool).at[slot].max(
         is_edge, mode="drop")
@@ -755,16 +770,13 @@ def _edges_from_sparse_result(ii, jj, mean, cnt, n, g=None):
     # reconstructions at similar scales reuse the jit cache
     size = max(1024, 1 << (max(n_keep, 1) - 1).bit_length())
     size = min(size, ii.shape[0])
-    # the mask path's own device compaction/scatter and host decode
-    # cost ~10 s at the multi-million-pair scale, so it only wins when
-    # the explicit-pair fetch bytes dwarf that (measured A/B at the
-    # 4.2M-node torus: pair 10.8 s vs mask 16.4 s steady at 116 MB;
-    # at the 9.4M-node scale the 250 MB pair fetch took 37 s) — route
-    # by kept-pair fetch size. The (size, D) row gathers must also
-    # stay affordable.
-    D = max(getattr(g, "max_deg", 0), 1) if g is not None else 0
-    if (hcsr is not None and n_keep * 8 > _MASK_FETCH_BYTES
-            and 0 < D * size * 4 <= (4 << 30)):
+    # the mask path's own device compaction/membership/scatter and host
+    # decode cost a few seconds at the multi-million-pair scale, so it
+    # only wins when the explicit-pair fetch bytes dwarf that (measured
+    # A/B at the 4.2M-node torus: pair 10.8 s vs mask 16.4 s steady at
+    # 116 MB with the old row-gather lookup; at the 9.4M-node scale the
+    # 250 MB pair fetch took 37 s) — route by kept-pair fetch size.
+    if hcsr is not None and n_keep * 8 > _MASK_FETCH_BYTES:
         offs_np, dst_np = hcsr
         bits, elo, ehi, n_extra = _kept_edge_bits(ii, jj, mean, cnt, g,
                                                   size)

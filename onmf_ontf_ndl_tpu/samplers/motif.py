@@ -136,11 +136,14 @@ def _csr_row_slots(g, u):
     return slots, ok
 
 
-def _pair_membership_bsearch(g, row: jax.Array, col: jax.Array) -> jax.Array:
+def _pair_membership_bsearch(g, row: jax.Array, col: jax.Array,
+                             with_slots: bool = False):
     """Edge indicators for ordered index pairs on a CSR-backed graph by
     binary search of ``col`` in ``row``'s ascending CSR row segment.
     ``row``/``col`` are equal-shaped int32 arrays; returns a bool array
-    of the same shape.
+    of the same shape (with ``with_slots=True``, a ``(member, slot)``
+    pair where ``slot`` is the flat CSR index of the ``row -> col``
+    directed edge, valid only where ``member``).
 
     Cost: ``ceil(log2(max_deg)) + 3`` gathered elements per query,
     independent of the degree distribution — the membership kernel for
@@ -161,14 +164,19 @@ def _pair_membership_bsearch(g, row: jax.Array, col: jax.Array) -> jax.Array:
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(active & ~go_right, mid, hi)
     v = g.nbr_flat.at[off + lo].get(mode="clip")
-    return (lo < deg) & (v == col)
+    member = (lo < deg) & (v == col)
+    if with_slots:
+        return member, off + lo
+    return member
 
 
-def _pair_membership_sortjoin(g, row: jax.Array, col: jax.Array) -> jax.Array:
+def _pair_membership_sortjoin(g, row: jax.Array, col: jax.Array,
+                              with_slots: bool = False):
     """Edge indicators for ordered index pairs on a CSR-backed graph by
     a SORT-JOIN against the edge list: same contract as
     :func:`_pair_membership_bsearch` (equal-shaped int32 ``row``/``col``
-    in, bool out), chosen for LARGE query batches.
+    in, bool out; ``(member, slot)`` with ``with_slots=True``), chosen
+    for LARGE query batches.
 
     Rationale (docs/DESIGN.md §5 "one sort beats many gathers"): the
     binary search gathers ``log2(max_deg) + 3`` elements per query at
@@ -209,23 +217,37 @@ def _pair_membership_sortjoin(g, row: jax.Array, col: jax.Array) -> jax.Array:
     last_edge = lax.cummax(jnp.where(is_edge, iota, -1))
     run_start_idx = lax.cummax(jnp.where(runstart, iota, -1))
     member = (last_edge >= run_start_idx) & ~is_edge
-    payload, member = lax.sort((payload, member.astype(jnp.int32)),
-                               num_keys=1, is_stable=True)
-    return member[twoE:].astype(bool).reshape(shape)
+    if not with_slots:
+        payload, member = lax.sort((payload, member.astype(jnp.int32)),
+                                   num_keys=1, is_stable=True)
+        return member[twoE:].astype(bool).reshape(shape)
+    # the t-th edge in sorted order IS flat CSR slot t (the CSR edge
+    # list ascends by (src, dst) and the stable sort preserves the
+    # edges' relative order), so the matching edge's slot at any query
+    # is a running edge count — no gathers
+    slot_at = jnp.cumsum(is_edge.astype(jnp.int32)) - 1
+    payload, member, slot = lax.sort(
+        (payload, member.astype(jnp.int32), slot_at), num_keys=1,
+        is_stable=True)
+    return (member[twoE:].astype(bool).reshape(shape),
+            slot[twoE:].reshape(shape))
 
 
-def _pair_membership(g, row: jax.Array, col: jax.Array) -> jax.Array:
+def _pair_membership(g, row: jax.Array, col: jax.Array,
+                     with_slots: bool = False):
     """Membership kernel dispatch for CSR graphs: binary search for
     small query batches, sort-join once the gathered-element bill
     exceeds the sort bill (cost model in the kernel docstrings; the
-    ~3x gather-vs-sort per-element price folds into the constant)."""
+    ~3x gather-vs-sort per-element price folds into the constant).
+    ``with_slots=True`` additionally returns the flat CSR slot of each
+    member pair's directed edge."""
     q = int(np.prod(row.shape))
     twoE = g.nbr_flat.shape[0]
     bsearch_elems = q * (max(int(g.max_deg).bit_length(), 1) + 3)
     sortjoin_equiv = (q + twoE) * 2
     if bsearch_elems > sortjoin_equiv:
-        return _pair_membership_sortjoin(g, row, col)
-    return _pair_membership_bsearch(g, row, col)
+        return _pair_membership_sortjoin(g, row, col, with_slots)
+    return _pair_membership_bsearch(g, row, col, with_slots)
 
 
 def _bitset_rows(g, idx: jax.Array) -> jax.Array:

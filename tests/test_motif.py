@@ -744,6 +744,53 @@ def test_sortjoin_membership_matches_dense_and_bsearch():
             got.reshape(4, -1))
 
 
+def test_membership_slots_match_oracle():
+    """``with_slots=True`` on both membership kernels returns the flat
+    CSR slot of each member pair's directed edge (the bitmask edge-
+    fetch path scatters per-slot bits through it) — checked against a
+    searchsorted oracle on the host CSR arrays, hub rows and empty
+    rows included."""
+    import dataclasses
+
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+    from onmf_ontf_ndl_tpu.samplers.motif import (
+        _pair_membership_bsearch, _pair_membership_sortjoin)
+
+    rng = np.random.default_rng(33)
+    e = rng.integers(0, 200, (1500, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    # a hub: node 0 adjacent to half the graph
+    hub = np.stack([np.zeros(100, np.int64), np.arange(1, 101)], 1)
+    e = np.concatenate([e, hub])
+    gc = dataclasses.replace(csr_graph_from_edges(e), nbr_pad_T=None)
+    offs = np.asarray(gc.offsets)
+    dst = np.asarray(gc.nbr_flat)
+    deg = np.asarray(gc.deg)
+    n = gc.num_nodes
+    row = rng.integers(0, n, 3000).astype(np.int32)
+    col = rng.integers(0, n, 3000).astype(np.int32)
+    row[:200] = 0                         # hammer the hub row
+    want_m = np.zeros(3000, bool)
+    want_s = np.zeros(3000, np.int64)
+    for t in range(3000):
+        r, c = row[t], col[t]
+        seg = dst[offs[r]:offs[r] + deg[r]]
+        p = np.searchsorted(seg, c)
+        if p < deg[r] and seg[p] == c:
+            want_m[t] = True
+            want_s[t] = offs[r] + p
+    rj, cj = jnp.asarray(row), jnp.asarray(col)
+    for kern in (_pair_membership_bsearch, _pair_membership_sortjoin):
+        got_m, got_s = kern(gc, rj, cj, True)
+        got_m = np.asarray(got_m)
+        np.testing.assert_array_equal(got_m, want_m, err_msg=kern.__name__)
+        np.testing.assert_array_equal(np.asarray(got_s)[want_m],
+                                      want_s[want_m],
+                                      err_msg=kern.__name__)
+        # membership unchanged vs the slot-less form
+        np.testing.assert_array_equal(got_m, np.asarray(kern(gc, rj, cj)))
+
+
 def test_membership_dispatch_cost_model():
     """_pair_membership routes small batches to binary search and
     edge-list-dominating batches to the sort-join (both sides already

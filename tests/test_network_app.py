@@ -673,6 +673,26 @@ def test_edge_fetch_mask_path_matches_pair_path(monkeypatch):
     np.testing.assert_array_equal(got_mask, got_pairs)
     assert len(got_mask) > 300     # the true edges survived
 
+    # heavy-tailed variant: a >65,536-node graph with a dominant hub —
+    # the slot lookup must route through the degree-independent
+    # membership kernels (the old (size, max_deg) row gather was
+    # byte-gated off exactly here) and still match the pair path
+    hub_e = [(0, v) for v in range(1, 70_001)] \
+        + [(v, v + 1) for v in range(3000, 3300)]
+    gh = csr_graph_from_edges(hub_e)
+    nh = gh.num_nodes
+    assert nh > 65536 and gh.max_deg == 70_000
+    he = np.asarray(hub_e[:600])
+    hii = np.concatenate([he[:, 0], he[:, 1], rng.integers(0, nh, 64)])
+    hjj = np.concatenate([he[:, 1], he[:, 0], rng.integers(0, nh, 64)])
+    hmean = np.ones(len(hii))
+    hcnt = np.ones(len(hii))
+    hargs = (jnp.asarray(hii, jnp.int32), jnp.asarray(hjj, jnp.int32),
+             jnp.asarray(hmean), jnp.asarray(hcnt), nh)
+    np.testing.assert_array_equal(
+        _edges_from_sparse_result(*hargs, g=gh),
+        _edges_from_sparse_result(*hargs))
+
 
 def test_heavy_tail_ba_ndl_end_to_end():
     """End-to-end NDL on a small Barabási–Albert (power-law) CsrGraph:
