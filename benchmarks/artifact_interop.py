@@ -111,6 +111,12 @@ def main():
         data_out["artifact_interop_image"] = result
         with open(args.out, "w") as f:
             json.dump(data_out, f, indent=2)
+        # atomic record→table refresh (gen_tables.py)
+        import subprocess
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "gen_tables.py")], check=False)
 
 
 if __name__ == "__main__":

@@ -330,6 +330,13 @@ def main():
     merged.update(results)
     with open(out, "w") as f:
         json.dump(merged, f, indent=2)
+    # atomic record→table refresh: re-render the generated doc tables
+    # so a record write can never leave them stale (gen_tables.py)
+    import subprocess
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "gen_tables.py")], check=False)
     print(json.dumps(merged))
 
 

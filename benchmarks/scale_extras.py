@@ -25,6 +25,19 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "results.json")
 
 
+def _write_results(results):
+    """Write ``results.json`` AND re-render the generated doc tables in
+    the same call, so a record refresh and its tables are atomic
+    (benchmarks/gen_tables.py — a stale table can no longer be authored)."""
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2)
+    import subprocess
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "gen_tables.py")], check=False)
+
+
 def torus_edges(m):
     # vectorized, preserving the per-node (down, right) edge order of
     # the obvious double loop exactly — node interning in the graph
@@ -377,8 +390,7 @@ def main():
     scale = (args.side / 180.0) ** 2
     if args.facebook_csr:
         results["facebook_ndl_csr_bsearch"] = facebook_csr()
-        with open(OUT, "w") as f:
-            json.dump(results, f, indent=2)
+        _write_results(results)
         print(json.dumps(
             {"facebook_ndl_csr_bsearch": results["facebook_ndl_csr_bsearch"]}))
         return
@@ -393,8 +405,7 @@ def main():
             train_chunk=args.train_chunk))]
         for name, fn in sections:
             results[name] = fn()
-            with open(OUT, "w") as f:
-                json.dump(results, f, indent=2)
+            _write_results(results)
         print(json.dumps({key: results[key]}))
         return
     key = "torus_32k_scale_ndl" if args.side == 180 else (
@@ -438,8 +449,7 @@ def main():
             results[name] = fn()
         except Exception as e:          # noqa: BLE001 — record and go on
             print(f"{name} FAILED: {e}", file=sys.stderr)
-        with open(OUT, "w") as f:
-            json.dump(results, f, indent=2)
+        _write_results(results)
     print(json.dumps({k: results[k] for k in
                       (key, "serving_throughput", "soak_500k_steps")
                       if k in results}))

@@ -165,6 +165,13 @@ def main():
     results["shape_sweep"] = sweep
     with open(OUT, "w") as f:
         json.dump(results, f, indent=2)
+    # atomic record→table refresh (gen_tables.py): the MFU-vs-rank
+    # tables render from this record
+    import subprocess
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "gen_tables.py")], check=False)
     print(json.dumps({"shape_sweep": sweep}))
 
 
