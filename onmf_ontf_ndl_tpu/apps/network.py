@@ -525,10 +525,14 @@ def reconstruct_network_sparse_chunked(
                 f"chunked reconstruction overflowed the {cap}-slot "
                 f"accumulator at chunk {c + 1}/{chunks} "
                 f"({int(n_real)} distinct pairs); raise cap")
-        # shrink back to the real-segment bucket for the next fold
-        A = min(out_len,
+        # shrink back to the real-segment bucket for the next fold; A is
+        # re-derived from the RETURNED array length, not out_len — the
+        # fold's merge width T can undercut out_len for tiny caps/chunks
+        # (the [:out_len] slice clamps), and out_len would then overstate
+        # the accumulator
+        A = min(acc[0].shape[0],
                 1 << max(10, (max(int(n_real), 1) - 1).bit_length()))
-        if A < out_len:
+        if A < acc[0].shape[0]:
             acc = tuple(x[:A] for x in acc)
     ii, jj, sums, cnt = acc
     mean = sums / jnp.maximum(cnt, 1.0)
@@ -642,6 +646,11 @@ def _group_painted(embs, vals_T, n, include_self=True):
     out_i, out_j, eidx = lax.sort((ei, ej, idx), num_keys=2)
     real = out_i != big
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), eidx[:-1]])
+    # the int32 position difference is exact; the cast to the value
+    # dtype (f32) loses exactness for per-pair counts above 2^24
+    # (~16.8M paints of ONE pair within one chunk — far past any
+    # recorded budget, and the pre-sort segment_sum-of-ones path
+    # saturated identically). Documented ceiling, not a regression.
     cnt = jnp.where(real, eidx - prev, 0).astype(sv.dtype)
     return out_i, out_j, sums, cnt
 

@@ -207,7 +207,13 @@ def load_edgelist_dense(path: str, delimiter: str = ",") -> np.ndarray:
     reference's ``read_networks`` (``network_reconstruction_nx.py:56-62``,
     dead code there: nothing calls it). Node order is first appearance
     in the file, matching ``nx.read_edgelist`` + ``nx.to_numpy_matrix``
-    insertion order and this module's interning invariant. Built
+    insertion order and this module's interning invariant. One
+    deviation: self-loop lines are DROPPED by the shared edge interning
+    (every graph type here is simple), whereas ``nx.to_numpy_matrix``
+    would keep a self-loop as a nonzero diagonal entry — moot for the
+    reference's own use (its function is dead code and its datasets are
+    simple graphs), but a diagonal difference if you feed a loopy edge
+    list. Built
     entirely on host — the result is an ndarray nothing on the device
     needs, so shipping an N^2 adjacency over the ~1 MB/s tunnel both
     ways (as building a :class:`Graph` first would) is pure waste."""
@@ -512,10 +518,17 @@ def _build_nbr_pad_T(src, dst, deg, offsets, n, max_deg,
     return jnp.asarray(tbl)
 
 
+# Bump when the cached-CSR array contract changes (dtype, ordering, new
+# field): the version is folded into the cache key so old files are
+# simply missed, never silently reused with a stale schema.
+_CSR_CACHE_VERSION = 1
+
+
 def _csr_cache_key(edges: np.ndarray) -> str:
     import hashlib
 
     h = hashlib.sha256()
+    h.update(f"v{_CSR_CACHE_VERSION}:".encode())
     h.update(np.ascontiguousarray(edges, np.int64).tobytes())
     return h.hexdigest()[:24]
 
