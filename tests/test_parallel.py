@@ -7,6 +7,7 @@ import pytest
 
 from onmf_ontf_ndl_tpu.models.state import init_state
 from onmf_ontf_ndl_tpu.models.onmf import onmf_step
+from onmf_ontf_ndl_tpu.models.onmf import onmf_step as lib_onmf_step
 from onmf_ontf_ndl_tpu.parallel.mesh import make_mesh
 from onmf_ontf_ndl_tpu.parallel.dp import dp_onmf_step, dp_train_dict
 from onmf_ontf_ndl_tpu.parallel.ising_sharded import sharded_checkerboard_sweeps
@@ -423,3 +424,146 @@ def test_dp_sparse_recon_csr_graph():
     acc_dp = rec.compute_recons_accuracy(G_recons=edges_dp)
     assert acc_dp > 0.9, acc_dp
     np.testing.assert_array_equal(edges_dp, run())
+
+
+def test_dp_tensor_trainer_equals_single_device():
+    """dp_train_tensor_dict == a single-device run on the concatenated
+    per-device batches (round-4 verdict #3: replication tests alone
+    would pass a consistently-misplaced psum; this oracle rebuilds the
+    per-device draws with the library's own key discipline and drives
+    plain onmf_step — no psum code path — on the concatenation)."""
+    import dataclasses
+
+    from onmf_ontf_ndl_tpu.models.ontf import resolve_tensor_coder
+    from onmf_ontf_ndl_tpu.ops.unfold import unfold
+    from onmf_ontf_ndl_tpu.parallel.dp import dp_train_tensor_dict
+
+    ndev, iters, bpd, r = 8, 5, 2, 4
+    mesh = make_mesh({"dp": ndev})
+    Xt = jnp.asarray(RNG.random((9, 3, 16)), jnp.float64)
+    st = init_state(jax.random.key(11), 27, r, dtype=jnp.float64)
+    # fixed sweeps: the early-stopping rule is shard-local under DP
+    # (documented deviation), so exact equality needs stopping_diff=None
+    st_dp = dp_train_tensor_dict(
+        mesh, st, Xt, mode=2, learn_joint_dict=True, iterations=iters,
+        batch_size_per_device=bpd, coder_sub_iter=20, stopping_diff=None)
+
+    # oracle: mirror _train_scan's key discipline (split 3, fold skey/
+    # hkey by device index), draw each device's iid batch from its
+    # column shard, and take ONE single-device onmf_step per iteration
+    # on the concatenated batch with the concatenated H0
+    method, sub_iter = resolve_tensor_coder("exact", 10, 20)
+    Xu = unfold(Xt, 2).T                       # joint dict: transpose
+    npl = Xu.shape[1] // ndev
+    shards = [Xu[:, d * npl:(d + 1) * npl] for d in range(ndev)]
+    st_o = st
+    key = st.key
+    for i in range(1, iters):
+        key, skey, hkey = jax.random.split(key, 3)
+        xb, h0 = [], []
+        for d in range(ndev):
+            sk = jax.random.fold_in(skey, d)
+            hk = jax.random.fold_in(hkey, d)
+            idx = jax.random.randint(sk, (bpd,), 0, npl)
+            xb.append(jnp.take(shards[d], idx, axis=1))
+            h0.append(jax.random.uniform(hk, (r, bpd), dtype=jnp.float64))
+        st_o, _ = lib_onmf_step(
+            st_o, jnp.concatenate(xb, axis=1), t=float(i),
+            H0=jnp.concatenate(h0, axis=1), alpha=2.0, beta=1.0,
+            sub_iter=sub_iter, stopping_diff=None, coder=method)
+    np.testing.assert_allclose(np.asarray(st_dp.W), np.asarray(st_o.W),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_dp.A), np.asarray(st_o.A),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_dp.B), np.asarray(st_o.B),
+                               rtol=0, atol=1e-12)
+    assert float(st_dp.t) == float(iters)
+
+
+def test_dp_ising_learning_equals_single_device():
+    """dp_ising_learning == a single-device 8-lattice ensemble driven
+    through the library's non-psum primitives (round-4 verdict #3): the
+    oracle advances each lattice with the same per-device key stream,
+    extracts the same patches, and takes single-device onmf_steps on
+    the cross-device patch concatenation; the surrogate-error trace,
+    aggregates, dictionary, and final lattices must all match."""
+    from onmf_ontf_ndl_tpu.ops.patches import (extract_patches,
+                                               random_patch_corners)
+    from onmf_ontf_ndl_tpu.parallel.dp import dp_ising_learning
+    from onmf_ontf_ndl_tpu.samplers.ising import (checkerboard_sweeps,
+                                                  init_lattice)
+    from onmf_ontf_ndl_tpu.utils.metrics import surrogate_error
+
+    ndev, L, k, r = 8, 12, 4, 5
+    isit, inner, npd = 3, 4, 10
+    mesh = make_mesh({"dp": ndev})
+    lats = jnp.stack([init_lattice(kk, L) for kk in
+                      jax.random.split(jax.random.key(0), ndev)])
+    st = init_state(jax.random.key(1), k * k, r, track_xxt=True,
+                    dtype=jnp.float64)
+    base_key = jax.random.key(2)
+    # fixed sweeps (see tensor test above for why)
+    st_dp, dstack, errs, lats_dp = dp_ising_learning(
+        mesh, st, lats, base_key, ising_iterations=isit, nsteps=20,
+        num_patches_per_device=npd, inner_iterations=inner, batch_size=5,
+        patch_size=k, T=1.0, use_stopping=False)
+
+    dt = jnp.float64
+    J = jnp.asarray(1.0, dt)
+    Hf = jnp.asarray(0.0, dt)
+    T = jnp.asarray(1.0, dt)
+
+    def patches_cat(lats_o, rkeys):
+        cols = [extract_patches(
+            lats_o[d].astype(dt),
+            random_patch_corners(rkeys[d], (L, L), k, npd), k)
+            for d in range(ndev)]
+        return jnp.concatenate(cols, axis=1)
+
+    st_o = st
+    key_state = st.key
+    t0 = 0.0
+
+    def inner_rounds(st_o, key_state, t0, X_cat):
+        for i in range(1, inner):
+            key_state, _skey, hkey = jax.random.split(key_state, 3)
+            h0 = jnp.concatenate(
+                [jax.random.uniform(jax.random.fold_in(hkey, d), (r, npd),
+                                    dtype=dt) for d in range(ndev)], axis=1)
+            st_o, _ = lib_onmf_step(st_o, X_cat, t=t0 + i, H0=h0,
+                                    alpha=0.0, beta=1.0, sub_iter=10,
+                                    stopping_diff=None)
+        return st_o, key_state, t0 + inner
+
+    # per-device key streams: fold by device index, then the initial
+    # round's split (apps/ising.py ising_trajectory_learning)
+    kd = [jax.random.fold_in(base_key, d) for d in range(ndev)]
+    kd, rk0 = zip(*[jax.random.split(kk) for kk in kd])
+    st_o, key_state, t0 = inner_rounds(st_o, key_state, t0,
+                                       patches_cat(lats, rk0))
+    err_trace = [surrogate_error(st_o.W, st_o.A, st_o.B, st_o.C)]
+    lats_o = [lats[d] for d in range(ndev)]
+    iter_keys = [jax.random.split(kk, isit) for kk in kd]
+    for j in range(isit):
+        rkeys = []
+        for d in range(ndev):
+            skey, rkey = jax.random.split(iter_keys[d][j])
+            # nsteps=20 on a 12x12 lattice rounds up to 1 sweep
+            lats_o[d] = checkerboard_sweeps(skey, lats_o[d], 1, J, Hf, T)
+            rkeys.append(rkey)
+        st_o, key_state, t0 = inner_rounds(st_o, key_state, t0,
+                                           patches_cat(lats_o, rkeys))
+        err_trace.append(surrogate_error(st_o.W, st_o.A, st_o.B, st_o.C))
+
+    np.testing.assert_allclose(np.asarray(st_dp.W), np.asarray(st_o.W),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_dp.A), np.asarray(st_o.A),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_dp.B), np.asarray(st_o.B),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_dp.C), np.asarray(st_o.C),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(errs), np.asarray(err_trace),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(lats_dp),
+                                  np.stack([np.asarray(x) for x in lats_o]))
