@@ -38,6 +38,34 @@ def _write_results(results):
                       "gen_tables.py")], check=False)
 
 
+def probe_steady():
+    """Fixed probe program timed steady-state right before a scale
+    record (round-4 verdict #5): ~7 TFLOP of chained 4096x4096 matmuls
+    in one jit, second-run (cached-compile) wall. Tunnel dispatch and
+    device throughput both drift across sessions (CLAUDE.md: walls vary
+    ~±15%, late-session reruns up to 2.2x); storing the probe wall in
+    the record makes flagship walls cross-session comparable — compare
+    record walls only after scaling by the probe ratio."""
+    import jax
+    import jax.numpy as jnp
+    from run_all import steady
+
+    @jax.jit
+    def prog(x, w):
+        def body(c, _):
+            c = c @ w
+            c = c * (2.0 / (1.0 + jnp.max(jnp.abs(c))))
+            return c, ()
+        c, _ = jax.lax.scan(body, x, None, length=50)
+        return jnp.sum(c)
+
+    x = jnp.full((4096, 4096), 0.5, jnp.float32)
+    w = jnp.eye(4096, dtype=jnp.float32)
+    t, _ = steady(lambda: float(prog(x, w)))
+    print(f"probe {t:.3f}s", file=sys.stderr)
+    return round(t, 3)
+
+
 def torus_edges(m):
     # vectorized, preserving the per-node (down, right) edge order of
     # the obvious double loop exactly — node interning in the graph
@@ -127,6 +155,7 @@ def big_ba_ndl(n=1_048_576, m=2, recons_iter=4_800_000, num_chains=16384,
             k2=2, num_chains=16, fast=True, seed=0,
             is_glauber_recons=False)
 
+    probe = probe_steady()
     fence(make().train_dict(checkpoint_every=train_chunk))
     rec = make()
     t0 = time.time()
@@ -145,7 +174,7 @@ def big_ba_ndl(n=1_048_576, m=2, recons_iter=4_800_000, num_chains=16384,
            "train_s": round(t_train, 2), "recon_s": round(t_rec, 2),
            "recons_accuracy": round(acc, 4),
            "recon_samples_m": round(recons_iter / 1e6, 1),
-           "recon_chains": num_chains}
+           "recon_chains": num_chains, "probe_s": probe}
     if chunks > 1:
         out["recon_chunks"] = chunks
     if train_chunk:
@@ -219,6 +248,7 @@ def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096,
     # steady-state walls: the FIRST invocation includes the remote
     # compile (which drifts up over session age — CLAUDE.md); run each
     # phase twice and report the cached-compile second wall
+    probe = probe_steady()
     fence(make().train_dict())
     rec = make()
     t0 = time.time()
@@ -237,7 +267,7 @@ def big_torus_ndl(m=180, recons_iter=1_200_000, num_chains=4096,
            "load_s": round(t_load, 2), "train_s": round(t_train, 2),
            "recon_s": round(t_rec, 2), "recons_accuracy": round(acc, 4),
            "recon_samples_m": round(recons_iter / 1e6, 1),
-           "recon_chains": num_chains}
+           "recon_chains": num_chains, "probe_s": probe}
     if chunks > 1:
         out["recon_chunks"] = chunks
     return out
