@@ -28,9 +28,24 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _write_results(results):
     """Write ``results.json`` AND re-render the generated doc tables in
     the same call, so a record refresh and its tables are atomic
-    (benchmarks/gen_tables.py — a stale table can no longer be authored)."""
+    (benchmarks/gen_tables.py — a stale table can no longer be authored).
+
+    Merges over the CURRENT on-disk contents rather than rewriting the
+    dict loaded at process start: a record committed to the file while a
+    long run is in flight must survive the run's own writes (a round-5
+    ``ba_recon_phase_profile`` record was silently dropped exactly this
+    way by the pre-merge version)."""
+    merged = {}
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                merged = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            merged = {}
+    merged.update(results)
+    results.update(merged)   # keep the caller's view consistent
     with open(OUT, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
     import subprocess
     subprocess.run(
         [sys.executable,

@@ -107,6 +107,113 @@ def measure_kernel_block_rows(d, r, batch, bk, reps=300):
     return reps * batch / best
 
 
+def measure_step_prefixes(d, r, batch, reps=None, interpret=False):
+    """Fused-prefix decomposition of the bcd trainer step: where does
+    the trainer-vs-kernel-only gap go at rank 100 (round-4 verdict #8:
+    35.2M patches/s trainer vs 42M standalone kernel at r=100/d=400)?
+
+    Times PREFIXES of the real per-step pipeline inside one fused scan
+    (CLAUDE.md: an isolated per-phase jit measures ~100x wrong on this
+    hardware because dead-output layouts change) — successive
+    differences attribute the per-step wall to (1) gram+projection
+    matmuls, (2) coder sweeps, (3) streaming aggregate updates, and
+    (4) the column-BCD dictionary update (``onmf_step``'s stale-
+    aggregate default, models/onmf.py). Pool width equals the batch so
+    block sampling is the identity slice (its cost is ~0 in the real
+    trainer too; docs/DESIGN.md §2)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from onmf_ontf_ndl_tpu.ops.pallas.coder_kernel import (
+        coder_sweeps, dict_update_sweep)
+
+    reps = reps or max(400, 8_000_000 // batch)
+    X = jax.random.uniform(jax.random.key(1), (d, batch))
+    W0 = jax.random.uniform(jax.random.key(0), (d, r))
+    W0 = W0 / jnp.linalg.norm(W0, axis=0)
+    H0 = jax.random.uniform(jax.random.key(2), (r, batch))
+    A0 = jnp.zeros((r, r))
+    B0 = jnp.zeros((r, d))
+    alpha = jnp.float32(0.0)
+
+    def make(depth):
+        def body(carry, i):
+            W, A, B, acc = carry
+            # anti-hoist: without this, a prefix that never updates W
+            # would let XLA hoist gram/proj out of the scan entirely
+            Wc = W + acc * 0
+            gram = Wc.T @ Wc
+            proj = Wc.T @ X
+            acc = acc + jnp.sum(gram) * 1e-20 + jnp.sum(proj) * 1e-20
+            if depth >= 2:
+                H = coder_sweeps(gram, proj, H0, alpha,
+                                 sub_iter=SUB_ITER, block_rows=2,
+                                 interpret=interpret)
+                acc = acc + jnp.sum(H) * 1e-20
+            if depth >= 3:
+                w = 1.0 / (1.0 + i.astype(jnp.float32))
+                A1 = (1 - w) * A + w * (H @ H.T) / batch
+                B1 = (1 - w) * B + w * (H @ X.T) / batch
+                acc = acc + jnp.sum(A1) * 1e-20 + jnp.sum(B1) * 1e-20
+                A, B = A1, B1
+            if depth >= 4:
+                # stale-aggregate default: W steps with the pre-update
+                # A, B (models/onmf.py dict_from="stale")
+                W = dict_update_sweep(W, A, B, interpret=interpret)
+            return (W, A, B, acc), ()
+
+        @jax.jit
+        def run():
+            carry, _ = lax.scan(
+                body, (W0, A0, B0, jnp.float32(0.0)),
+                jnp.arange(reps, dtype=jnp.int32))
+            return carry[3] + jnp.sum(carry[0])
+
+        return run
+
+    out = {}
+    names = ["gram_proj", "coder", "aggregates", "dict_update"]
+    prev = 0.0
+    for depth in (1, 2, 3, 4):
+        run = make(depth)
+        float(run())                       # compile + fence
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run())
+            best = min(best, time.perf_counter() - t0)
+        us = best / reps * 1e6
+        out[f"prefix{depth}_us_per_step"] = round(us, 1)
+        out[f"{names[depth - 1]}_us"] = round(us - prev, 1)
+        print(f"  prefix {depth} ({'+'.join(names[:depth])}): "
+              f"{us:.1f} us/step (+{us - prev:.1f})", file=sys.stderr)
+        prev = us
+    out["batch"] = batch
+    out["patches_per_s_full_step"] = round(batch / (prev / 1e6))
+    return out
+
+
+def _write_record(key, value):
+    """Merge one record into ``results.json`` (read at write time, not
+    process start — a record committed while a long sweep is in flight
+    survives) and re-render the generated doc tables atomically."""
+    results = {}
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                results = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            results = {}
+    results[key] = value
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2)
+    import subprocess
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "gen_tables.py")], check=False)
+
+
 def main():
     import argparse
 
@@ -115,12 +222,26 @@ def main():
                     help="one batch, no block_rows sweep")
     ap.add_argument("--batches", type=int, nargs="*",
                     default=[16384, 65536])
+    ap.add_argument("--decomp", action="store_true",
+                    help="fused-prefix step decomposition at the "
+                         "r=100 ising shape + the headline shape "
+                         "(writes results.json: trainer_step_decomp)")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
 
     float(jnp.sum(jnp.ones(8)))          # backend handshake off the clock
     print(f"backend: {jax.devices()[0].platform}", file=sys.stderr)
+
+    if args.decomp:
+        decomp = {}
+        for label, d, r in (("r100_d400_ising20", 400, 100),
+                            ("r25_d300_color10", 300, 25)):
+            print(f"{label} step decomposition:", file=sys.stderr)
+            decomp[label] = measure_step_prefixes(d, r, 65536)
+        _write_record("trainer_step_decomp", decomp)
+        print(json.dumps({"trainer_step_decomp": decomp}))
+        return
 
     batches = args.batches[:1] if args.quick else args.batches
     sweep = {}
@@ -155,23 +276,9 @@ def main():
             entry["kernel_block_rows_patches_per_s"] = br
         sweep[label] = entry
 
-    results = {}
-    if os.path.exists(OUT):
-        try:
-            with open(OUT) as f:
-                results = json.load(f)
-        except Exception:
-            results = {}
-    results["shape_sweep"] = sweep
-    with open(OUT, "w") as f:
-        json.dump(results, f, indent=2)
-    # atomic record→table refresh (gen_tables.py): the MFU-vs-rank
-    # tables render from this record
-    import subprocess
-    subprocess.run(
-        [sys.executable,
-         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "gen_tables.py")], check=False)
+    # atomic record→table refresh: the MFU-vs-rank tables render from
+    # this record
+    _write_record("shape_sweep", sweep)
     print(json.dumps({"shape_sweep": sweep}))
 
 
