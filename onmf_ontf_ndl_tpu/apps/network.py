@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
+import sys
 
 import numpy as np
 import jax
@@ -387,11 +389,17 @@ def _fold_grouped(ai, aj, asum, acnt, ci, cj, csum, ccnt, *, out_len=None):
     output is sorted by construction), so the combined sequence
     [accumulator asc | pad | chunk REVERSED] is bitonic and one
     log2(n)-stage merge network replaces a full log^2(n) sort —
-    padding slots (cnt == 0) ride as int32-max keys. Returns the
+    padding slots (cnt == 0) ride as int32-max keys. When the
+    power-of-two padding would exceed 25% of the real total, an
+    exact-width two-key ``lax.sort`` replaces the merge network — the
+    padded merge peaks at 2x the memory, a measured OOM at the
+    9.4M-node heavy-tail fold's ~2^28 distinct pairs. Returns the
     merged arrays, real segments in a prefix, truncated to ``out_len``
-    slots (default: the accumulator's length) — the returned
-    real-segment count is computed BEFORE truncation, so the caller
-    can detect overflow exactly."""
+    slots (default: the accumulator's length; the returned width is
+    ``min(out_len, merged width)`` — callers re-derive the accumulator
+    length from the arrays) — the returned real-segment count is
+    computed BEFORE truncation, so the caller can detect overflow
+    exactly."""
     cap = ai.shape[0]
     if out_len is None:
         out_len = cap
@@ -406,17 +414,34 @@ def _fold_grouped(ai, aj, asum, acnt, ci, cj, csum, ccnt, *, out_len=None):
 
     ai_k, aj_k = keyed(ai, aj, acnt)
     ci_k, cj_k = keyed(ci, cj, ccnt)
-    padn = T - total
+    if T > total + (total >> 2):
+        # Exact-width full sort instead of the padded merge network:
+        # the bitonic merge needs a power-of-two length, and when the
+        # accumulator bucket sits just above one (e.g. a 2^28-slot
+        # accumulator + a small chunk) the padding nearly DOUBLES the
+        # merge's peak HBM (in+out at 2^29 slots x 16 B ≈ 17 GB — a
+        # measured OOM on the 9.4M-node heavy-tail fold, where distinct
+        # painted pairs reach ~2^28). A two-key 4-operand lax.sort at
+        # the exact 264M width costs ~1.7 s (CLAUDE.md: ~0.8 s per
+        # 128M) against the merge's ~0.3 s, but peaks at half the
+        # memory; it only runs when padding waste exceeds 25%.
+        si = jnp.concatenate([ai_k, ci_k])
+        sj = jnp.concatenate([aj_k, cj_k])
+        sv = jnp.concatenate([asum, csum])
+        sc = jnp.concatenate([acnt, ccnt])
+        si, sj, sv, sc = lax.sort((si, sj, sv, sc), num_keys=2)
+    else:
+        padn = T - total
 
-    def cat(a, pad_val, c):
-        mid = jnp.full((padn,), pad_val, a.dtype)
-        return jnp.concatenate([a, mid, c[::-1]])
+        def cat(a, pad_val, c):
+            mid = jnp.full((padn,), pad_val, a.dtype)
+            return jnp.concatenate([a, mid, c[::-1]])
 
-    si = cat(ai_k, big, ci_k)
-    sj = cat(aj_k, big, cj_k)
-    sv = cat(asum, jnp.zeros((), asum.dtype), csum)
-    sc = cat(acnt, jnp.zeros((), acnt.dtype), ccnt)
-    si, sj, sv, sc = _bitonic_merge(si, sj, sv, sc)
+        si = cat(ai_k, big, ci_k)
+        sj = cat(aj_k, big, cj_k)
+        sv = cat(asum, jnp.zeros((), asum.dtype), csum)
+        sc = cat(acnt, jnp.zeros((), acnt.dtype), ccnt)
+        si, sj, sv, sc = _bitonic_merge(si, sj, sv, sc)
     # Both inputs have UNIQUE keys, so after the merge every real key
     # occupies <= 2 adjacent slots: the whole segment reduction is one
     # shift-add (the first slot of a duplicate pair absorbs the second)
@@ -525,6 +550,15 @@ def reconstruct_network_sparse_chunked(
                 f"chunked reconstruction overflowed the {cap}-slot "
                 f"accumulator at chunk {c + 1}/{chunks} "
                 f"({int(n_real)} distinct pairs); raise cap")
+        if os.environ.get("ONMF_CHUNK_PROGRESS"):
+            # distinct-pair growth per fold (n_real is fetched above
+            # anyway, so this costs nothing): the accumulator's bucket
+            # width — and hence the fold's HBM footprint — follows this
+            # count, which on heavy-tail graphs grows much faster with
+            # samples than on lattices (hub 2-paths)
+            print(f"  chunk {c + 1}/{chunks}: {int(n_real)} distinct "
+                  f"pairs (fold width {out_len})",
+                  file=sys.stderr, flush=True)
         # shrink back to the real-segment bucket for the next fold; A is
         # re-derived from the RETURNED array length, not out_len — the
         # fold's merge width T can undercut out_len for tiny caps/chunks

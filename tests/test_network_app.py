@@ -619,12 +619,20 @@ def test_bitonic_merge_fold_property():
         assert (np.diff(kk) > 0).all()
 
         # out_len widening (the adaptive-accumulator growth step):
-        # identical reals, pre-truncation n_real, padded tail
+        # identical reals, pre-truncation n_real, padded tail. The
+        # returned width is min(out_len, merged width): the exact-width
+        # full-sort path (taken when power-of-two padding would exceed
+        # 25% — the heavy-tail fold's HBM guard) merges at cap+L slots
+        # and the [:out_len] slice clamps; the caller re-derives the
+        # accumulator length from the returned arrays either way
         a2 = sorted_grouped(cap, min(cap, 30))
         c2 = sorted_grouped(L, min(L, 70))
         wide = 1 << (cap + L - 1).bit_length()
         gi, gj, gs, gc, n2 = _fold_grouped(*a2, *c2, out_len=wide)
-        assert gi.shape[0] == wide
+        total = cap + L
+        t_pow2 = 1 << (total - 1).bit_length()
+        merged_w = total if t_pow2 > total + (total >> 2) else t_pow2
+        assert gi.shape[0] == min(wide, merged_w)
         gc = np.asarray(gc)
         nz2 = int((gc > 0).sum())
         assert nz2 == int(n2) and (gc[nz2:] == 0).all()
