@@ -466,6 +466,49 @@ def _fold_grouped(ai, aj, asum, acnt, ci, cj, csum, ccnt, *, out_len=None):
             cnt[:out_len], n_real.astype(jnp.int32))
 
 
+@jax.jit
+def _split_positions(i_, j_, c_, ti, tj):
+    """Number of REAL (``cnt > 0``) sorted (i, j) keys strictly below
+    each boundary key ``(ti[p], tj[p])`` — the per-part split indices
+    of a grouped array whose real segments occupy a sorted prefix.
+    Padding is excluded by the ``cnt`` gate rather than by key value:
+    the fused grouping path (n <= 65536) pads with (0, 0) keys, which
+    would otherwise count below every boundary (the two-key path pads
+    with int32-max). A packed 64-bit key + ``searchsorted`` would be
+    the obvious form, but TPU runs with x64 disabled; the two-key
+    prefix predicate reduces in one bandwidth-bound pass instead."""
+    lt = ((i_[None, :] < ti[:, None])
+          | ((i_[None, :] == ti[:, None]) & (j_[None, :] < tj[:, None])))
+    return jnp.sum(lt & (c_ > 0)[None, :], axis=1, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _part_slice(i_, j_, v_, c_, start, count, *, size):
+    """Copy ``size`` slots starting at dynamic ``start`` out of grouped
+    (i, j, sum, cnt) arrays, masking offsets ``>= count`` to padding
+    (int32-max keys / zero payloads). ``jnp.roll`` handles the dynamic
+    start without the silent start-clamping hazard of ``dynamic_slice``
+    at the array tail; the full-width rotate is bandwidth-only. Static
+    ``size`` keeps the jit-shape count logarithmic (callers pass
+    power-of-two buckets)."""
+    m = jnp.arange(size, dtype=jnp.int32) < count
+    big = jnp.int32(2**31 - 1)
+
+    def take(a, fill):
+        return jnp.where(m, jnp.roll(a, -start)[:size], fill)
+
+    return (take(i_, big), take(j_, big),
+            take(v_, jnp.zeros((), v_.dtype)),
+            take(c_, jnp.zeros((), c_.dtype)))
+
+
+def _bucket(count: int, lo: int = 1 << 10) -> int:
+    """Smallest power-of-two ``>= max(count, 1)``, floored at ``lo`` —
+    the accumulator/chunk size-bucket rule (bounds the number of
+    distinct fold shapes, hence jit compiles, logarithmically)."""
+    return max(lo, 1 << (max(count, 1) - 1).bit_length())
+
+
 def reconstruct_network_sparse_chunked(
     W: jax.Array,
     g,
@@ -482,6 +525,7 @@ def reconstruct_network_sparse_chunked(
     weighted: bool = False,
     num_chains: int = 1,
     method: str = "bcd",
+    fold_parts: int | None = None,
 ):
     """Sample budgets beyond single-chip HBM: run the sparse
     reconstruction pipeline in ``chunks`` independent pieces and fold
@@ -502,10 +546,30 @@ def reconstruct_network_sparse_chunked(
 
     Raises if the distinct-pair count outgrows ``cap`` (raise ``cap``
     or use more/fewer chunks; the check is exact, not a truncation).
-    Returns ``(ii, jj, mean, cnt)`` of length ``<= cap`` (the smallest
-    power-of-two bucket holding the distinct pairs), real segments in
-    a prefix — otherwise the same contract as
-    :func:`reconstruct_network_sparse` with ``include_self=False``."""
+    Returns ``(ii, jj, mean, cnt)`` of length ``<= cap`` rounded to
+    size buckets; slots with ``cnt == 0`` are padding. On the
+    single-accumulator path real segments occupy a sorted prefix; once
+    the fold PARTITIONS (below) padding may sit between parts — every
+    consumer (:func:`_kept_edge_bits`, :func:`_kept_pairs`,
+    :func:`_pack_recon_edges`) masks on ``cnt > 0`` and none requires
+    global order. Otherwise the same contract as
+    :func:`reconstruct_network_sparse` with ``include_self=False``.
+
+    **Partitioned fold** (``fold_parts``, default from
+    ``ONMF_FOLD_PARTS`` env, 8; activation threshold from
+    ``ONMF_FOLD_PART_AT`` env, 2**27 accumulator slots): the fold's
+    exact-width sort peaks at ~2x the merged width (in + out), which
+    at a ~2**28-slot distinct-pair accumulator is the single-chip HBM
+    wall that capped the 16.7M-node heavy-tail budget at 8
+    samples/node. When the accumulator bucket reaches the threshold
+    mid-run, it is split ONCE into ``fold_parts`` contiguous key
+    ranges at its own (i, j) quantiles; each subsequent chunk is
+    sliced at the same boundaries (:func:`_split_positions`) and
+    folded part-by-part in separate jit calls, so the sort scratch is
+    ~2x a PART (1/parts of the width) while the other parts just sit
+    in HBM. Identical math: every (i, j) key lands in exactly one
+    part, and per-pair (sum, count) folding is key-local. ``fold_parts
+    <= 1`` disables."""
     k = len(parents) + 1
     per_chunk = -(-recons_iter // chunks)
     # the pipeline rounds each chunk's budget UP to a multiple of
@@ -522,9 +586,24 @@ def reconstruct_network_sparse_chunked(
     # pairs repeat heavily), so fixed-cap folds paid 2-4x the width for
     # padding. ``cap`` stays the exact overflow bound; bucketing keeps
     # the number of distinct fold shapes (= recompiles) logarithmic.
+    if fold_parts is None:
+        fold_parts = int(os.environ.get("ONMF_FOLD_PARTS", "8"))
+    part_at = int(os.environ.get("ONMF_FOLD_PART_AT", str(1 << 27)))
+    progress = os.environ.get("ONMF_CHUNK_PROGRESS")
     A = min(1 << 10, cap)
     acc = (jnp.zeros((A,), jnp.int32), jnp.zeros((A,), jnp.int32),
            jnp.zeros((A,), W.dtype), jnp.zeros((A,), W.dtype))
+    pacc = None     # per-part accumulators once the fold partitions
+    pA: list[int] = []
+    pn: list[int] = []
+    bounds_i = bounds_j = None
+
+    def _overflow(n_tot, c):
+        raise ValueError(
+            f"chunked reconstruction overflowed the {cap}-slot "
+            f"accumulator at chunk {c + 1}/{chunks} "
+            f"({n_tot} distinct pairs); raise cap")
+
     for c in range(chunks):
         ck = jax.random.fold_in(key, c)
         chunk = _grouped_chunk_sums(
@@ -537,37 +616,118 @@ def reconstruct_network_sparse_chunked(
         # not the chunk's padded paint count. Power-of-two size buckets
         # bound the number of fold recompiles.
         n_seg_c = int(jnp.sum(chunk[3] > 0))
-        S = min(chunk[0].shape[0],
-                1 << max(10, (max(n_seg_c, 1) - 1).bit_length()))
+        S = min(chunk[0].shape[0], _bucket(n_seg_c))
         chunk = tuple(x[:S] for x in chunk)
-        # merged reals <= A + S, so an out_len covering A + S (capped
-        # at the overflow bound) never truncates a real segment unless
-        # the run overflows cap — which raises below, exactly
-        out_len = min(1 << max(10, (A + S - 1).bit_length()), cap)
-        *acc, n_real = _fold_grouped(*acc, *chunk, out_len=out_len)
-        if int(n_real) > cap:
-            raise ValueError(
-                f"chunked reconstruction overflowed the {cap}-slot "
-                f"accumulator at chunk {c + 1}/{chunks} "
-                f"({int(n_real)} distinct pairs); raise cap")
-        if os.environ.get("ONMF_CHUNK_PROGRESS"):
-            # distinct-pair growth per fold (n_real is fetched above
-            # anyway, so this costs nothing): the accumulator's bucket
-            # width — and hence the fold's HBM footprint — follows this
-            # count, which on heavy-tail graphs grows much faster with
-            # samples than on lattices (hub 2-paths)
-            print(f"  chunk {c + 1}/{chunks}: {int(n_real)} distinct "
-                  f"pairs (fold width {out_len})",
-                  file=sys.stderr, flush=True)
-        # shrink back to the real-segment bucket for the next fold; A is
-        # re-derived from the RETURNED array length, not out_len — the
-        # fold's merge width T can undercut out_len for tiny caps/chunks
-        # (the [:out_len] slice clamps), and out_len would then overstate
-        # the accumulator
-        A = min(acc[0].shape[0],
-                1 << max(10, (max(int(n_real), 1) - 1).bit_length()))
-        if A < acc[0].shape[0]:
-            acc = tuple(x[:A] for x in acc)
+        if pacc is None:
+            # merged reals <= A + S, so an out_len covering A + S
+            # (capped at the overflow bound) never truncates a real
+            # segment unless the run overflows cap — which raises
+            # below, exactly
+            out_len = min(_bucket(A + S), cap)
+            *acc, n_real = _fold_grouped(*acc, *chunk, out_len=out_len)
+            n_tot = int(n_real)
+            if n_tot > cap:
+                _overflow(n_tot, c)
+            if progress:
+                # distinct-pair growth per fold (n_real is fetched
+                # above anyway, so this costs nothing): the
+                # accumulator's bucket width — and hence the fold's HBM
+                # footprint — follows this count, which on heavy-tail
+                # graphs grows much faster with samples than on
+                # lattices (hub 2-paths)
+                print(f"  chunk {c + 1}/{chunks}: {n_tot} distinct "
+                      f"pairs (fold width {out_len})",
+                      file=sys.stderr, flush=True)
+            # shrink back to the real-segment bucket for the next fold;
+            # A is re-derived from the RETURNED array length, not
+            # out_len — the fold's merge width T can undercut out_len
+            # for tiny caps/chunks (the [:out_len] slice clamps), and
+            # out_len would then overstate the accumulator
+            A = min(acc[0].shape[0], _bucket(n_tot))
+            if A < acc[0].shape[0]:
+                acc = tuple(x[:A] for x in acc)
+            if fold_parts > 1 and A >= part_at and c + 1 < chunks:
+                # partition ONCE at the accumulator's own key
+                # quantiles: reals occupy a sorted UNIQUE-key prefix,
+                # so the split position of the key AT quantile slot q
+                # is exactly q — no search needed for the accumulator
+                # itself, only boundary-key fetches
+                qpos = [n_tot * p // fold_parts
+                        for p in range(1, fold_parts)]
+                bounds_i = jnp.asarray([int(acc[0][q]) for q in qpos],
+                                       jnp.int32)
+                bounds_j = jnp.asarray([int(acc[1][q]) for q in qpos],
+                                       jnp.int32)
+                starts = [0] + qpos
+                ends = qpos + [n_tot]
+                pacc, pA, pn = [], [], []
+                for p in range(fold_parts):
+                    cnt_p = ends[p] - starts[p]
+                    sz = min(_bucket(cnt_p), A)
+                    pacc.append(list(_part_slice(
+                        *acc, starts[p], cnt_p, size=sz)))
+                    pA.append(sz)
+                    pn.append(cnt_p)
+                acc = None
+                if progress:
+                    print(f"  fold partitioned into {fold_parts} key "
+                          f"ranges at {n_tot} distinct pairs "
+                          f"(buckets {pA})", file=sys.stderr, flush=True)
+        else:
+            # partitioned fold: slice the chunk at the standing key
+            # boundaries and fold each slice into its part in its own
+            # jit call — the sort scratch is ~2x a part, not 2x the
+            # whole accumulator
+            pos = [int(x) for x in np.asarray(_split_positions(
+                chunk[0], chunk[1], chunk[3], bounds_i, bounds_j))]
+            starts = [0] + pos
+            ends = pos + [n_seg_c]
+            nouts: list = [None] * fold_parts
+            for p in range(fold_parts):
+                cnt_p = ends[p] - starts[p]
+                if cnt_p <= 0:
+                    continue
+                sz = min(_bucket(cnt_p), S)
+                cpart = _part_slice(*chunk, starts[p], cnt_p, size=sz)
+                out_len = min(_bucket(pA[p] + sz), cap)
+                out = _fold_grouped(*pacc[p], *cpart, out_len=out_len)
+                pacc[p] = list(out[:4])
+                nouts[p] = out[4]
+            # ONE host round-trip for all per-part real counts (a
+            # scalar fetch per part per chunk adds up over the tunnel),
+            # then shrink each part back to its real-count bucket
+            live = [x for x in nouts if x is not None]
+            fetched = iter(int(v) for v in np.asarray(jnp.stack(live))) \
+                if live else iter(())
+            for p in range(fold_parts):
+                if nouts[p] is None:
+                    continue
+                pn[p] = next(fetched)
+                Ap = min(pacc[p][0].shape[0], _bucket(pn[p]))
+                if Ap < pacc[p][0].shape[0]:
+                    pacc[p] = [x[:Ap] for x in pacc[p]]
+                pA[p] = Ap
+            n_tot = sum(pn)
+            if n_tot > cap:
+                _overflow(n_tot, c)
+            if progress:
+                print(f"  chunk {c + 1}/{chunks}: {n_tot} distinct "
+                      f"pairs (part buckets {pA})",
+                      file=sys.stderr, flush=True)
+    if pacc is not None:
+        # assemble: slice every part to its EXACT real count first
+        # (host-known, reals occupy each part's sorted prefix), freeing
+        # the bucketed buffers before the concat — concatenating the
+        # bucketed parts directly would peak at ~2x the total
+        # accumulator (parts + output), the very OOM the partitioned
+        # fold exists to avoid. Exact widths here cost one final
+        # compile each; downstream consumers re-bucket on their own.
+        for p in range(fold_parts):
+            pacc[p] = [x[:pn[p]] for x in pacc[p]]
+        acc = tuple(jnp.concatenate([pacc[p][t]
+                                     for p in range(fold_parts)])
+                    for t in range(4))
+        pacc = None
     ii, jj, sums, cnt = acc
     mean = sums / jnp.maximum(cnt, 1.0)
     return ii, jj, mean, cnt

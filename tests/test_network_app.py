@@ -733,3 +733,52 @@ def test_heavy_tail_ba_ndl_end_to_end():
     rec.reconstruct_network(recons_iter=60000, num_chains=256)
     acc = float(rec.compute_recons_accuracy())
     assert acc > 0.6, acc
+
+
+def test_partitioned_fold_matches_single_accumulator(monkeypatch):
+    """The key-range-partitioned fold (the HBM guard that lifts the
+    16.7M-node heavy-tail budget cap: sort scratch ~2x a PART instead
+    of 2x the whole accumulator) must produce exactly the same
+    per-pair (mean, cnt) map as the single-accumulator path on the
+    same key."""
+    import jax
+    from onmf_ontf_ndl_tpu.apps.network import (
+        reconstruct_network_sparse_chunked)
+    from onmf_ontf_ndl_tpu.data.graphs import csr_graph_from_edges
+
+    m = 16
+    edges = []
+    for i in range(m):
+        for j in range(m):
+            u = i * m + j
+            edges.append((u, ((i + 1) % m) * m + j))
+            edges.append((u, i * m + (j + 1) % m))
+    g = csr_graph_from_edges(edges)
+    rec = NetworkReconstructor(source=g, n_components=16,
+                               MCMC_iterations=6, sub_iterations=10,
+                               sample_size=100, batch_size=50, k1=0,
+                               k2=2, num_chains=8, fast=True, seed=0)
+    rec.train_dict()
+    key = jax.random.key(7)
+    kw = dict(recons_iter=12000, chunks=4, use_glauber=True,
+              num_chains=32)
+    base = reconstruct_network_sparse_chunked(
+        rec.state.W, g, key, rec._B_bytes, rec._parents,
+        fold_parts=1, **kw)
+    # force activation after the first fold (the bucket floor is 1024)
+    monkeypatch.setenv("ONMF_FOLD_PART_AT", "1024")
+    part = reconstruct_network_sparse_chunked(
+        rec.state.W, g, key, rec._B_bytes, rec._parents,
+        fold_parts=4, **kw)
+
+    def as_map(ii, jj, mean, cnt):
+        ii, jj, mean, cnt = (np.asarray(x) for x in (ii, jj, mean, cnt))
+        return {(int(i), int(j)): (float(v), float(c))
+                for i, j, v, c in zip(ii, jj, mean, cnt) if c > 0}
+
+    want, got = as_map(*base), as_map(*part)
+    assert set(want) == set(got) and len(want) > 100
+    for pair, (v, c) in want.items():
+        gv, gc = got[pair]
+        assert gc == c
+        np.testing.assert_allclose(gv, v, rtol=1e-10)
